@@ -1,0 +1,316 @@
+package graft.index
+
+import graft.analysis.Analyzer
+import graft.core._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segmented, resumable index storage (SURVEY.md §7.2 M5, north rule:
+  * "resumable from checkpoint with per-partition lineage + metrics").
+  *
+  * Layout (Iceberg-shaped: snapshot manifest + per-stage done-markers; a real
+  * Iceberg catalog can replace the JSON layer without touching the engine):
+  *
+  * {{{
+  * base/
+  *   manifest.json              — [{id, numDocs}] committed segments
+  *   seg-<i>/
+  *     corpus/                  — the indexed rows (doc store; reference kept
+  *                                one file per docID, indexing.go:350-351)
+  *     docstats/                — (doc_id, content_sha)  input_hint invariant
+  *     postings/                — (field, term, shard, count, sum_tf, max_tf,
+  *                                blocks, blob) range-partitioned+sorted by
+  *                                (field, term) → parquet min/max prunes both
+  *                                exact-term and prefix-range scans
+  *     df/                      — (field, term, df)
+  *     fieldstats/              — (field, n, sum_dl)
+  *     _checkpoints/<stage>.json — done-marker with rows/bytes/wallMs and
+  *                                per-partition (file-level) metrics
+  *   tombstones/                — (doc_id, max_seg) appended parquet
+  *   dfdelta/                   — (field, term, ddf) df corrections
+  *   tombstats/                 — (field, dn, dsum_dl) stats corrections
+  * }}}
+  *
+  * CRUD mapping to the reference: add = new segment append (indexing.go:299-369);
+  * delete = tombstone + precomputed df/stats deltas from re-tokenizing the
+  * stored doc, exactly the reference's strategy of recomputing the posting
+  * key from content (indexing.go:604-667); update = delete + add
+  * (indexing.go:669-687); compact() re-builds one segment from live docs
+  * (the scale answer to editing compressed blobs in place, SURVEY.md §7.4).
+  */
+class IndexStore(val spark: SparkSession, val baseDir: String,
+                 val cfg: IndexConfig = IndexConfig()) {
+  import spark.implicits._
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = new Path(baseDir).getFileSystem(hconf)
+  private def p(parts: String*): Path = new Path((baseDir +: parts).mkString("/"))
+
+  // ---------- manifest ----------
+
+  final case class SegmentInfo(id: Int, numDocs: Long)
+
+  def segments: Seq[SegmentInfo] = {
+    val mf = p("manifest.json")
+    if (!fs.exists(mf)) Seq.empty
+    else {
+      val in = fs.open(mf)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val segs = node.get("segments")
+      (0 until segs.size()).map { i =>
+        val s = segs.get(i)
+        SegmentInfo(s.get("id").asInt(), s.get("numDocs").asLong())
+      }
+    }
+  }
+
+  private def writeManifest(segs: Seq[SegmentInfo]): Unit = {
+    val json = segs.map(s => s"""{"id":${s.id},"numDocs":${s.numDocs}}""")
+      .mkString("""{"segments":[""", ",", "]}")
+    val out = fs.create(p("manifest.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  // ---------- per-stage checkpoints ----------
+
+  /** Writes `df` to `seg-<segId>/<stage>/` unless that stage's done-marker
+    * already exists (resume path: completed stages are skipped wholesale and
+    * their persisted output is reused). The marker carries stage lineage and
+    * per-partition (per-file) row/byte metrics read back from parquet
+    * footers, emitted AFTER a successful write — a crash mid-write leaves no
+    * marker, so a re-run redoes the stage idempotently (overwrite mode). */
+  private[index] def runStage(segId: Int, stage: String, lineage: Seq[String],
+                              resume: Boolean)(compute: => DataFrame): DataFrame = {
+    val outDir = p(s"seg-$segId", stage)
+    val marker = p(s"seg-$segId", "_checkpoints", s"$stage.json")
+    if (resume && fs.exists(marker)) {
+      spark.read.parquet(outDir.toString)
+    } else {
+      val t0 = System.nanoTime()
+      compute.write.mode(SaveMode.Overwrite).parquet(outDir.toString)
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      val parts = parquetFileMetrics(outDir)
+      val rows = parts.map(_._2).sum
+      val bytes = parts.map(_._3).sum
+      val partsJson = parts.map { case (f, r, b) =>
+        s"""{"file":"$f","rows":$r,"bytes":$b}"""
+      }.mkString("[", ",", "]")
+      val json =
+        s"""{"stage":"$stage","status":"done","rows":$rows,"bytes":$bytes,""" +
+        s""""files":${parts.length},"wallMs":$wallMs,""" +
+        s""""lineage":${lineage.map(l => "\"" + l + "\"").mkString("[", ",", "]")},""" +
+        s""""partitions":$partsJson}"""
+      val out = fs.create(marker, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      spark.read.parquet(outDir.toString)
+    }
+  }
+
+  def stageDone(segId: Int, stage: String): Boolean =
+    fs.exists(p(s"seg-$segId", "_checkpoints", s"$stage.json"))
+
+  /** (fileName, rows, bytes) per parquet part file — per-partition metrics. */
+  private def parquetFileMetrics(dir: Path): Seq[(String, Long, Long)] = {
+    fs.listStatus(dir).toSeq
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try reader.getRecordCount finally reader.close()
+        (st.getPath.getName, rows, st.getLen)
+      }
+  }
+
+  // ---------- segment build ----------
+
+  /** Builds and commits one segment from a corpus batch. Stages checkpoint
+    * individually; `resume = true` skips completed stages (M5). */
+  def createSegment(corpus: Dataset[CorpusDoc], resume: Boolean = false): Int = {
+    val segId = segments.map(_.id).reduceOption(_ max _).map(_ + 1).getOrElse(0)
+    buildSegmentAt(segId, corpus, resume)
+  }
+
+  private[index] def buildSegmentAt(segId: Int, corpus: Dataset[CorpusDoc],
+                                    resume: Boolean): Int = {
+    // Stage 1: corpus copy (doc store). Range-partitioned by doc_id so top-k
+    // hydration and docId-range reads prune files.
+    val storedCorpus = runStage(segId, "corpus", Seq("input"), resume) {
+      corpus.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id").toDF()
+    }
+    val numDocs = storedCorpus.count()
+
+    // Stage 2: per-row sha256 invariant table.
+    runStage(segId, "docstats", Seq(s"seg-$segId/corpus"), resume) {
+      IndexBuilder.docStats(storedCorpus.as[CorpusDoc])
+    }
+
+    // Stage 3: posting shards — THE build shuffle. Output range-partitioned
+    // and sorted on (field, term) so exact/prefix term scans prune parquet
+    // row groups via min/max stats.
+    val shards = runStage(segId, "postings", Seq(s"seg-$segId/corpus"), resume) {
+      IndexBuilder.encodeShards(
+        IndexBuilder.postings(storedCorpus.as[CorpusDoc], cfg.fields), cfg.shardSpan)
+        .repartitionByRange(col("field"), col("term"), col("shard"))
+        .sortWithinPartitions("field", "term", "shard")
+    }
+
+    // Stage 4: df — reads 3 pruned columns of the shard table.
+    runStage(segId, "df", Seq(s"seg-$segId/postings"), resume) {
+      IndexBuilder.termDf(shards)
+        .repartitionByRange(col("field"), col("term"))
+        .sortWithinPartitions("field", "term")
+    }
+
+    // Stage 5: per-field stats.
+    runStage(segId, "fieldstats", Seq(s"seg-$segId/postings", s"seg-$segId/corpus"), resume) {
+      IndexBuilder.fieldStats(shards, numDocs).coalesce(1)
+    }
+
+    writeManifest(segments.filterNot(_.id == segId) :+ SegmentInfo(segId, numDocs))
+    segId
+  }
+
+  // ---------- readers ----------
+
+  private def segPaths(sub: String): Seq[String] =
+    segments.map(s => p(s"seg-${s.id}", sub).toString)
+
+  /** All segments' posting shards with a `seg` provenance column. */
+  def postings(): DataFrame =
+    segments.map { s =>
+      spark.read.parquet(p(s"seg-${s.id}", "postings").toString)
+        .withColumn("seg", lit(s.id))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
+
+  /** Stored corpus rows across segments (with `seg`). */
+  def corpus(): DataFrame =
+    segments.map { s =>
+      spark.read.parquet(p(s"seg-${s.id}", "corpus").toString)
+        .withColumn("seg", lit(s.id))
+    }.reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
+
+  def docStats(): DataFrame =
+    segPaths("docstats").map(spark.read.parquet(_))
+      .reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
+
+  /** Live per-(field, term) df: segment sums minus delete corrections. */
+  def termDf(): DataFrame = {
+    val base = segPaths("df").map(spark.read.parquet(_))
+      .reduceOption(_ unionByName _).getOrElse(return spark.emptyDataFrame)
+      .groupBy(col("field"), col("term")).agg(sum(col("df")).as("df"))
+    val deltaPath = p("dfdelta")
+    if (!fs.exists(deltaPath)) base
+    else {
+      val delta = spark.read.parquet(deltaPath.toString)
+        .groupBy(col("field"), col("term")).agg(sum(col("ddf")).as("ddf"))
+      base.join(delta, Seq("field", "term"), "left")
+        .select(col("field"), col("term"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+    }
+  }
+
+  /** Live per-field (n, sum_dl, avgdl). Small: collected to the driver and
+    * broadcast into scoring. */
+  def fieldStats(): Map[String, (Long, Long)] = {
+    val base = segPaths("fieldstats").map(spark.read.parquet(_))
+      .reduceOption(_ unionByName _)
+      .map(_.groupBy(col("field")).agg(sum("n").as("n"), sum("sum_dl").as("sum_dl"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap)
+      .getOrElse(Map.empty)
+    val tsPath = p("tombstats")
+    if (!fs.exists(tsPath)) base
+    else {
+      val deltas = spark.read.parquet(tsPath.toString)
+        .groupBy(col("field")).agg(sum("dn").as("dn"), sum("dsum_dl").as("dsum"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      base.map { case (f, (n, s)) =>
+        val (dn, ds) = deltas.getOrElse(f, (0L, 0L))
+        f -> (n - dn, s - ds)
+      }
+    }
+  }
+
+  /** Tombstones as a driver-side map docId -> max deleted segment. Between
+    * compactions the tombstone set is assumed small (documented scale
+    * contract; compact() clears it). */
+  def tombstoneMap(): Map[Long, Int] = {
+    val tp = p("tombstones")
+    if (!fs.exists(tp)) Map.empty
+    else spark.read.parquet(tp.toString)
+      .groupBy(col("doc_id")).agg(max(col("max_seg")).as("max_seg"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  def tombstonesDF(): DataFrame = {
+    val tp = p("tombstones")
+    if (!fs.exists(tp)) spark.createDataFrame(Seq.empty[Tombstone])
+    else spark.read.parquet(tp.toString)
+  }
+
+  // ---------- CRUD ----------
+
+  /** Append a batch of new documents (new doc_ids) as a fresh segment. */
+  def add(docs: Dataset[CorpusDoc]): Int = createSegment(docs)
+
+  /** Delete documents by id. Re-tokenizes the stored docs (reference
+    * indexing.go:604-667 recomputes posting keys from content) to precompute
+    * df and length-stat corrections, then appends tombstones — postings blobs
+    * are never edited in place. */
+  def delete(docIds: Seq[Long]): Unit = {
+    if (docIds.isEmpty) return
+    val maxSeg = segments.map(_.id).reduceOption(_ max _).getOrElse(-1)
+    val idSet = docIds.toSet
+    val victims = corpus().filter(col("doc_id").isInCollection(idSet))
+      .drop("seg").as[CorpusDoc]
+    // df corrections: one row per distinct (field, term) of each victim doc
+    val deltas = IndexBuilder.postings(victims, cfg.fields)
+      .groupBy(col("field"), col("term")).agg(count(lit(1)).as("ddf"))
+    deltas.write.mode(SaveMode.Append).parquet(p("dfdelta").toString)
+    // stats corrections
+    val stats = IndexBuilder.postings(victims, cfg.fields)
+      .groupBy(col("field"), col("doc_id")).agg(first(col("dl")).as("dl"))
+      .groupBy(col("field")).agg(count(lit(1)).as("dn"), sum(col("dl")).as("dsum_dl"))
+    stats.write.mode(SaveMode.Append).parquet(p("tombstats").toString)
+    // tombstones
+    victims.select(col("doc_id")).distinct()
+      .withColumn("max_seg", lit(maxSeg))
+      .write.mode(SaveMode.Append).parquet(p("tombstones").toString)
+  }
+
+  /** Update = delete + re-add under a newer segment (reference
+    * indexing.go:669-687: "deletes the document, then adds the new one"). */
+  def update(docs: Dataset[CorpusDoc]): Int = {
+    val ids = docs.select("doc_id").as[Long].collect().toSeq
+    delete(ids)
+    createSegment(docs)
+  }
+
+  /** Rewrites the whole store as a single segment over live documents,
+    * clearing tombstones and deltas (the blob-edit answer at scale). */
+  def compact(): Unit = {
+    val live = liveCorpus().as[CorpusDoc]
+    val tmp = new IndexStore(spark, baseDir + ".compact", cfg)
+    tmp.createSegment(live)
+    val dst = new Path(baseDir)
+    fs.delete(dst, true)
+    fs.rename(new Path(baseDir + ".compact"), dst)
+  }
+
+  /** Corpus rows still visible (tombstone-filtered, segment-generation
+    * aware). */
+  def liveCorpus(): DataFrame = {
+    val c = corpus()
+    if (c.isEmpty) return c
+    val ts = tombstoneMap()
+    if (ts.isEmpty) c.drop("seg")
+    else {
+      val tsDF = broadcast(ts.toSeq.toDF("t_doc_id", "t_max_seg"))
+      c.join(tsDF, c("doc_id") === tsDF("t_doc_id") && c("seg") <= tsDF("t_max_seg"), "left_anti")
+        .drop("seg")
+    }
+  }
+}

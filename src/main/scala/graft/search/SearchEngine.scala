@@ -1,0 +1,165 @@
+package graft.search
+
+import graft.analysis.Analyzer
+import graft.core._
+import graft.index.{IndexStore, PostingCodec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query modes. The reference's multi-term search is disjunctive
+  * accumulation (OR, indexing.go:385-493); AND is the intersection variant
+  * the north rule's WAND path assumes; Wand is AND/OR-equivalent top-k with
+  * block-max pruning. */
+sealed trait SearchMode
+object SearchMode {
+  case object Or extends SearchMode
+  case object And extends SearchMode
+  case object Wand extends SearchMode // OR semantics + block-max pruning
+}
+
+/** BM25 top-k search over an [[IndexStore]] (SURVEY.md §A.4 pinned scorer).
+  *
+  * Plan shape (exhaustive path):
+  *   postings scan (parquet min/max pruned to the query terms / prefix range)
+  *   → blob decode (flatMap) → tombstone anti-filter → broadcast join with
+  *   the per-(field,term) idf + per-field avgdl stats (tiny, driver-built)
+  *   → per-row BM25 contribution (pure Column arithmetic, codegen'd)
+  *   → groupBy(doc_id) sum (partial agg map-side; cardinality ≤ matched docs)
+  *   → orderBy(score desc, doc_id).limit(k) ⇒ TakeOrderedAndProjectExec —
+  *   no global sort is ever materialized.
+  *
+  * The only shuffle is the final groupBy(doc_id) over matched postings —
+  * the same irreducible "accumulate per doc" the reference does in a hash
+  * map (indexing.go:380, 407-419), here distributed and spill-safe.
+  */
+class SearchEngine(val store: IndexStore) {
+  import store.spark.implicits._
+
+  private def spark: SparkSession = store.spark
+  private def bm25: Bm25Params = store.cfg.bm25
+
+  /** Decoded posting rows for the given shard subset. */
+  def decode(shards: DataFrame): DataFrame =
+    shards.select($"field", $"term", $"seg", $"blob")
+      .as[(String, String, Int, Array[Byte])]
+      .flatMap { case (field, term, seg, blob) =>
+        PostingCodec.decodeAll(blob).iterator.map { case (d, tf, dl) =>
+          (field, term, seg, d, tf, dl)
+        }
+      }.toDF("field", "term", "seg", "doc_id", "tf", "dl")
+
+  /** Expands a `beginsWith` prefix to concrete index terms via a range scan
+    * on the term-sorted df table — the analogue of the reference's radix
+    * `WalkPrefix` with its 100-subtree cap (indexing.go:773-785). */
+  def expandPrefix(prefix: String, fields: Seq[String], cap: Int = 100): Seq[(String, String)] = {
+    val lo = prefix.toLowerCase
+    val hi = lo.init + (lo.last + 1).toChar
+    store.termDf()
+      .filter($"field".isInCollection(fields) && $"term" >= lo && $"term" < hi)
+      .select($"field", $"term").orderBy($"term").limit(cap)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** Full search entry point mirroring the reference API
+    * (`POST /index/search` body {Query, Fields, BeginsWith},
+    * indexRoutes.go:13-17): analyze the query with the same analyzer as the
+    * index (indexing.go:384), match terms exactly or by prefix, score with
+    * pinned BM25, return top-k (doc_id, score). */
+  def search(query: String, fields: Seq[String] = CorpusDoc.Fields,
+             beginsWith: Boolean = false, k: Int = 100,
+             mode: SearchMode = SearchMode.Or): DataFrame = {
+    val qTerms = Analyzer.tokenize(query).distinct.sorted.toSeq
+    if (qTerms.isEmpty) return spark.emptyDataset[Hit].toDF()
+    val matched: Seq[(String, String)] =
+      if (beginsWith) qTerms.flatMap(t => expandPrefix(t, fields))
+      else fields.flatMap(f => qTerms.map(t => (f, t)))
+    mode match {
+      case SearchMode.Wand =>
+        new WandExecutor(this).search(qTerms, matched, fields, k)
+      case _ =>
+        exhaustive(qTerms, matched, fields, k, mode)
+    }
+  }
+
+  /** Top-k hits hydrated with the stored documents (reference loads the ≤100
+    * hit docs from disk, indexing.go:534-537); broadcast join on ≤k ids. */
+  def searchDocs(query: String, fields: Seq[String] = CorpusDoc.Fields,
+                 beginsWith: Boolean = false, k: Int = 100,
+                 mode: SearchMode = SearchMode.Or): DataFrame = {
+    val hits = search(query, fields, beginsWith, k, mode)
+    store.liveCorpus().join(broadcast(hits), Seq("doc_id"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
+  // ---------- scoring internals ----------
+
+  /** idf + avgdl statistics for the matched (field, term) pairs, computed on
+    * the driver (≤ |fields|·|terms| rows) and broadcast. */
+  private[search] def termStats(matched: Seq[(String, String)]): Seq[(String, String, Double, Double)] = {
+    val fstats = store.fieldStats()
+    val fieldsTouched = matched.map(_._1).distinct
+    val terms = matched.map(_._2).distinct
+    val dfMap = store.termDf()
+      .filter($"field".isInCollection(fieldsTouched) && $"term".isInCollection(terms))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    matched.flatMap { case (f, t) =>
+      dfMap.get((f, t)).flatMap { df =>
+        fstats.get(f).collect { case (n, sumDl) if n > 0 && df > 0 =>
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          val avgdl = sumDl.toDouble / n
+          (f, t, idf, avgdl)
+        }
+      }
+    }
+  }
+
+  private[search] def tombstoneFiltered(decoded: DataFrame): DataFrame = {
+    val ts = store.tombstoneMap()
+    if (ts.isEmpty) decoded
+    else {
+      val tsDF = broadcast(ts.toSeq.toDF("t_doc_id", "t_max_seg"))
+      decoded.join(tsDF,
+        decoded("doc_id") === tsDF("t_doc_id") && decoded("seg") <= tsDF("t_max_seg"),
+        "left_anti")
+    }
+  }
+
+  /** Selects only the shards of the matched terms — equality pushdown on the
+    * (field, term)-sorted postings table. */
+  def matchedShards(matched: Seq[(String, String)]): DataFrame = {
+    val all = store.postings()
+    if (all.isEmpty) return all
+    val fields = matched.map(_._1).distinct
+    val terms = matched.map(_._2).distinct
+    // two parquet-pushable IN filters bound the scan; the exact (field, term)
+    // pair set is then enforced with a broadcast semi-join (matters only for
+    // prefix expansion, where the matched terms differ per field)
+    val bounded = all.filter(
+      $"field".isInCollection(fields) && $"term".isInCollection(terms))
+    val pairs = broadcast(matched.toDF("field", "term"))
+    bounded.join(pairs, Seq("field", "term"), "left_semi")
+  }
+
+  private def exhaustive(qTerms: Seq[String], matched: Seq[(String, String)],
+                         fields: Seq[String], k: Int, mode: SearchMode): DataFrame = {
+    if (matched.isEmpty) return spark.emptyDataset[Hit].toDF()
+    val stats = termStats(matched)
+    if (stats.isEmpty) return spark.emptyDataset[Hit].toDF()
+    val statsDF = broadcast(stats.toDF("field", "term", "idf", "avgdl"))
+    val rows = tombstoneFiltered(decode(matchedShards(matched)))
+    val k1 = lit(bm25.k1); val b = lit(bm25.b)
+    val contrib = rows.join(statsDF, Seq("field", "term"))
+      .withColumn("part",
+        $"idf" * ($"tf" * (k1 + lit(1.0))) /
+          ($"tf" + k1 * (lit(1.0) - b + b * $"dl" / $"avgdl")))
+    val agged = contrib.groupBy($"doc_id")
+      .agg(sum($"part").as("score"),
+        collect_set($"term").as("mterms"))
+    val filtered = mode match {
+      case SearchMode.And => agged.filter(size($"mterms") === lit(qTerms.size))
+      case _ => agged
+    }
+    filtered.select($"doc_id", $"score")
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+}
