@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local-mode executor memory IS the JVM heap. Measured on this VM
+  // (graft.tools.ScaleProbe): heaps ≥16g collapse multi-thread scaling
+  // (lazy page-fault serialization under the hypervisor) — 32g runs a
+  // 32-thread CPU job 7x SLOWER than 8g. 12g is the sweet spot (0.83
+  // efficiency); do not raise without re-probing.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

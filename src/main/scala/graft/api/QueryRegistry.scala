@@ -228,7 +228,7 @@ object QueryRegistry {
       (s, dir) => engineFor(s, dir).store.docStats()
         .select(col("doc_id"), col("content_sha")).orderBy("doc_id"),
       Some("SELECT doc_id, sha256(text) AS content_sha FROM documents ORDER BY doc_id"))
-  )
+  ) ++ PipelineQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

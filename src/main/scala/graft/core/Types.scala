@@ -58,6 +58,7 @@ final case class PostingShard(
     term: String,
     shard: Long,
     count: Long,
+    sum_tf: Long,
     max_tf: Int,
     blocks: Array[Byte],
     blob: Array[Byte]
@@ -102,5 +103,11 @@ final case class Bm25Params(k1: Double = 1.2, b: Double = 0.75)
 final case class IndexConfig(
     shardSpan: Long = 1L << 20,
     bm25: Bm25Params = Bm25Params(),
-    fields: Seq[String] = CorpusDoc.Fields
+    fields: Seq[String] = CorpusDoc.Fields,
+    /** Persist the tokenized posting rows (MEMORY_AND_DISK) so the range
+      * partitioner's sampling pass doesn't re-tokenize the corpus, and
+      * independent stages can overlap. Right at any scale where the cluster
+      * has aggregate cache ≈ posting-row volume; at extreme scale (cache ≪
+      * data) set false and pay one re-tokenization in the sampler. */
+    cacheBuild: Boolean = true
 )

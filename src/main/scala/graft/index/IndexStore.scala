@@ -111,16 +111,22 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
   def stageDone(segId: Int, stage: String): Boolean =
     fs.exists(p(s"seg-$segId", "_checkpoints", s"$stage.json"))
 
-  /** (fileName, rows, bytes) per parquet part file — per-partition metrics. */
+  /** (fileName, rows, bytes) per parquet part file — per-partition metrics.
+    * Footer reads fan out on a thread pool: doing them serially on the
+    * driver added seconds of all-cores-idle time per stage. */
   private def parquetFileMetrics(dir: Path): Seq[(String, Long, Long)] = {
-    fs.listStatus(dir).toSeq
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = fs.listStatus(dir).toSeq
       .filter(st => st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
+      .map { st => Future {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         val rows = try reader.getRecordCount finally reader.close()
         (st.getPath.getName, rows, st.getLen)
-      }
+      }}
+    Await.result(Future.sequence(futures), Duration.Inf)
   }
 
   // ---------- segment build ----------
@@ -132,44 +138,65 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     buildSegmentAt(segId, corpus, resume)
   }
 
-  private[index] def buildSegmentAt(segId: Int, corpus: Dataset[CorpusDoc],
+  def buildSegmentAt(segId: Int, corpus: Dataset[CorpusDoc],
                                     resume: Boolean): Int = {
-    // Stage 1: corpus copy (doc store). Range-partitioned by doc_id so top-k
-    // hydration and docId-range reads prune files.
-    val storedCorpus = runStage(segId, "corpus", Seq("input"), resume) {
-      corpus.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id").toDF()
-    }
-    val numDocs = storedCorpus.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
 
-    // Stage 2: per-row sha256 invariant table.
-    runStage(segId, "docstats", Seq(s"seg-$segId/corpus"), resume) {
-      IndexBuilder.docStats(storedCorpus.as[CorpusDoc])
-    }
+    // The three heavy, mutually independent jobs — corpus copy, docstats,
+    // tokenize+shuffle+encode — are all submitted up front; the scheduler
+    // fills every core with whichever has runnable tasks. All three read the
+    // INPUT corpus (row-identical to the stored copy, enforced by the
+    // sha-invariant test), so none waits behind the copy stage.
+    val tfRows = IndexBuilder.postings(corpus, cfg.fields)
+    if (cfg.cacheBuild)
+      tfRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val docStatsF = Future {
+        runStage(segId, "docstats", Seq("input"), resume) {
+          IndexBuilder.docStats(corpus)
+        }
+      }
+      // Stage 3: posting shards — THE build shuffle; emitted rows are
+      // already range-partitioned and sorted on (field, term, shard), so
+      // parquet min/max stats prune exact/prefix term scans at file and
+      // row-group granularity.
+      val postingsF = Future {
+        runStage(segId, "postings", Seq("input"), resume) {
+          IndexBuilder.encodeShards(tfRows, cfg.shardSpan)
+        }
+      }
+      // Stage 4: df from the cached token rows — concurrent with the
+      // postings write, not downstream of it.
+      val dfF = Future {
+        runStage(segId, "df", Seq("input"), resume) {
+          IndexBuilder.termDf(tfRows)
+            .repartitionByRange(col("field"), col("term"))
+            .sortWithinPartitions("field", "term")
+        }
+      }
+      // Stage 1: corpus copy (doc store). Range-partitioned by doc_id so
+      // top-k hydration and docId-range reads prune files.
+      val storedCorpus = runStage(segId, "corpus", Seq("input"), resume) {
+        corpus.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id").toDF()
+      }
+      val numDocs = storedCorpus.count()
+      val shards = Await.result(postingsF, Duration.Inf)
+      val dfTable = Await.result(dfF, Duration.Inf)
+      val _ = shards
 
-    // Stage 3: posting shards — THE build shuffle. Output range-partitioned
-    // and sorted on (field, term) so exact/prefix term scans prune parquet
-    // row groups via min/max stats.
-    val shards = runStage(segId, "postings", Seq(s"seg-$segId/corpus"), resume) {
-      IndexBuilder.encodeShards(
-        IndexBuilder.postings(storedCorpus.as[CorpusDoc], cfg.fields), cfg.shardSpan)
-        .repartitionByRange(col("field"), col("term"), col("shard"))
-        .sortWithinPartitions("field", "term", "shard")
-    }
+      // Stage 5 reads only the (vocabulary-sized) df table.
+      runStage(segId, "fieldstats", Seq(s"seg-$segId/df"), resume) {
+        IndexBuilder.fieldStats(dfTable, numDocs).coalesce(1)
+      }
+      Await.result(docStatsF, Duration.Inf)
 
-    // Stage 4: df — reads 3 pruned columns of the shard table.
-    runStage(segId, "df", Seq(s"seg-$segId/postings"), resume) {
-      IndexBuilder.termDf(shards)
-        .repartitionByRange(col("field"), col("term"))
-        .sortWithinPartitions("field", "term")
+      writeManifest(segments.filterNot(_.id == segId) :+ SegmentInfo(segId, numDocs))
+      segId
+    } finally {
+      if (cfg.cacheBuild) { tfRows.unpersist(); () }
     }
-
-    // Stage 5: per-field stats.
-    runStage(segId, "fieldstats", Seq(s"seg-$segId/postings", s"seg-$segId/corpus"), resume) {
-      IndexBuilder.fieldStats(shards, numDocs).coalesce(1)
-    }
-
-    writeManifest(segments.filterNot(_.id == segId) :+ SegmentInfo(segId, numDocs))
-    segId
   }
 
   // ---------- readers ----------
@@ -264,8 +291,10 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     if (docIds.isEmpty) return
     val maxSeg = segments.map(_.id).reduceOption(_ max _).getOrElse(-1)
     val idSet = docIds.toSet
-    val victims = corpus().filter(col("doc_id").isInCollection(idSet))
-      .drop("seg").as[CorpusDoc]
+    // resolve against LIVE docs only: deleting an already-deleted id is a
+    // no-op (otherwise its df/stats corrections would be applied twice)
+    val victims = liveCorpus().filter(col("doc_id").isInCollection(idSet))
+      .as[CorpusDoc]
     // df corrections: one row per distinct (field, term) of each victim doc
     val deltas = IndexBuilder.postings(victims, cfg.fields)
       .groupBy(col("field"), col("term")).agg(count(lit(1)).as("ddf"))

@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash. All are pure DataFrame
+  * plans (codegen'd Column arithmetic; no UDFs) designed around the same
+  * skew discipline as the index build: every self-join is keyed on bounded
+  * buckets (shingle / band / bit-block), and hot keys can be frequency-capped.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. Returns one row per duplicate
+    * group: (content_sha, keep_id = min doc_id, n_dups, doc_ids sorted).
+    * At any scale this is one hash-aggregation — the canonical exact-dedup. */
+  def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_dups"),
+        sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .filter(col("n_dups") > 1)
+
+  /** Distinct k-token shingles per document (docs shorter than k yield none).
+    * Shingles are the join key of every near-dup candidate generation below;
+    * `maxShingleDf` drops ubiquitous shingles (boilerplate headers) that
+    * would otherwise quadratically blow up the candidate join at corpus
+    * scale — the standard frequency-cap used by large dedup pipelines. */
+  def shingles(docs: DataFrame, textCol: String = "text", k: Int = 3,
+               maxShingleDf: Long = 0): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(k))))).as("shingle"))
+      .distinct()
+    if (maxShingleDf <= 0) sh
+    else {
+      val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") > maxShingleDf).select("shingle")
+      sh.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ minJaccard.
+    * Plan: shingle self-join (bounded per shingle) → pair-count agg →
+    * join per-doc shingle counts → Jaccard arithmetic. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", k: Int = 3,
+                        minJaccard: Double = 0.5,
+                        maxShingleDf: Long = 0): DataFrame = {
+    val sh = shingles(docs, textCol, k, maxShingleDf)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  private val MersennePrime = (1L << 31) - 1 // 2^31-1
+
+  /** Seeded affine hash family h_i(x) = (a_i·x + b_i) mod p, p = 2^31-1,
+    * 1 ≤ a < p, 0 ≤ b < p. With x reduced below 2^31, every product fits a
+    * signed 64-bit long — no overflow anywhere in codegen. */
+  private[pipeline] def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numHashes)(
+      (1L + rnd.nextInt((MersennePrime - 1).toInt).toLong,
+       rnd.nextInt(MersennePrime.toInt).toLong))
+  }
+
+  /** MinHash signatures: (doc_id, sig: array<long>[numHashes]).
+    * One aggregation: min of each hash function over the doc's shingles —
+    * numHashes parallel `min` aggregates, fully codegen'd, no UDF. */
+  def minHashSignatures(sh: DataFrame, numHashes: Int = 64,
+                        seed: Long = 42L): DataFrame = {
+    val params = hashParams(numHashes, seed)
+    val x = pmod(xxhash64(col("shingle")), lit(MersennePrime))
+    val aggs = params.zipWithIndex.map { case ((aP, bP), i) =>
+      min(pmod(lit(aP) * x + lit(bP), lit(MersennePrime))).as(s"h$i")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: (doc_id, band, key) — docs sharing a (band, key) bucket
+    * are near-dup candidates. bands·rowsPerBand must equal signature size. */
+  def lshBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(slice(col("sig"), bnd * rowsPerBand + lit(1), lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+
+  /** MinHash-LSH near-dup pairs, verified with exact Jaccard.
+    * Candidate generation is the banded bucket self-join (each bucket is
+    * small by construction); verification joins back to exact shingle
+    * Jaccard restricted to the candidate pairs only. */
+  def minHashLshPairs(docs: DataFrame, textCol: String = "text", k: Int = 3,
+                      numHashes: Int = 64, bands: Int = 16,
+                      minJaccard: Double = 0.5, seed: Long = 42L,
+                      maxShingleDf: Long = 0): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shingles(docs, textCol, k, maxShingleDf)
+    val sigs = minHashSignatures(sh, numHashes, seed)
+    val buckets = lshBuckets(sigs, bands, numHashes / bands)
+    val l = buckets.select(col("band"), col("key"), col("doc_id").as("id_a"))
+    val r = buckets.select(col("band"), col("key"), col("doc_id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify candidates with exact Jaccard (shingle sets joined per side)
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("set"))
+    candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash per doc from tf-weighted token hash bit votes.
+    * Plan: token tf rows → 64 conditional sums (codegen'd) → bit assembly. */
+  def simHashes(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(Analyzer.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("th", xxhash64(col("term")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"v$i")
+    }
+    tf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (Manku et al.
+    * block-permutation scheme). The 64 bits are cut into maxDist+1 blocks:
+    * by pigeonhole, any pair within distance maxDist agrees on at least one
+    * full block, so the block-bucket join has GUARANTEED recall; candidates
+    * are verified with bit_count(xor). maxDist ≤ 7 keeps blocks ≥ 8 bits
+    * (coarser blocks make bucket sizes — and the join — explode). */
+  def simHashPairs(docs: DataFrame, textCol: String = "text",
+                   maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 7, "maxDist must be in [1, 7]")
+    val nBlocks = maxDist + 1
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks) // bit offsets
+    val hs = simHashes(docs, textCol)
+    val blockCols = (0 until nBlocks).map { bl =>
+      val lo = bounds(bl); val width = bounds(bl + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      shiftright(col("simhash"), lo).bitwiseAND(lit(mask))
+    }
+    val blocks = hs.select(col("doc_id"), col("simhash"),
+        posexplode(array(blockCols: _*)))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "bval")
+    val l = blocks.select(col("block"), col("bval"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val r = blocks.select(col("block"), col("bval"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("block", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path (candidates bounded per bucket,
+  * no full cross join).
+  *
+  * All vector math is Catalyst HOF arithmetic (`zip_with` + `aggregate`) in
+  * double precision — codegen'd, UDF-free, deterministic left-to-right
+  * summation (matches any sequential oracle).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ with left-to-right accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * Plan: broadcast the (small) query set against the corpus — an embarrass-
+    * ingly parallel map over corpus partitions — then per-query top-k via
+    * window row_number (partial top-k per partition under AQE).
+    * Output: (qid, vec_id, cos, rank). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv")))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    val scored = c.join(q,
+        if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Seeded random hyperplanes: nBits × dim doubles (driver-side literals,
+    * broadcast inside the plan as array literals). */
+  private[pipeline] def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection signature: one long with nBits sign bits. */
+  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = dot(v, array(p.map(lit(_)): _*))
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed approximate top-k: vectors are bucketed by `bands` b-bit
+    * slices of a sign-projection signature; each query only scores vectors
+    * sharing ≥1 band bucket. Recall is tunable via nBits/bands; candidates
+    * per bucket stay bounded, so the join never goes quadratic.
+    * Output: (qid, vec_id, cos, rank ≤ k). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nBits: Int = 16, bands: Int = 4, dim: Int = 64,
+              seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val planes = hyperplanes(nBits, dim, seed)
+    val bits = nBits / bands
+    val mask = (1L << bits) - 1
+
+    def withBuckets(df: DataFrame, idAs: String, vAs: String): DataFrame = {
+      val sig = lshSignature(asDouble(col("embedding")), planes)
+      df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as(vAs),
+          sig.as("sig"))
+        .select(col(idAs), col(vAs), posexplode(
+          array((0 until bands).map(bnd =>
+            shiftright(col("sig"), bnd * bits).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    }
+
+    val qb = broadcast(withBuckets(queries, "qid", "qv"))
+    val cb = withBuckets(corpus, "vec_id", "cv")
+    val cand = cb.join(qb, Seq("band", "bkey"))
+      .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
+      .select(col("qid"), col("vec_id"), col("qv"), col("cv"))
+      .dropDuplicates("qid", "vec_id")
+    val scored = cand.select(col("qid"), col("vec_id"),
+      cosine(col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ tau, bucketed
+    * by LSH bands so the pair join is not a cross product. `exact = true`
+    * falls back to the full O(n²) join (tiny inputs / oracle parity). */
+  def embeddingDupPairs(corpus: DataFrame, tau: Double,
+                        exact: Boolean = false, nBits: Int = 16,
+                        bands: Int = 4, dim: Int = 64,
+                        seed: Long = 42L): DataFrame = {
+    if (exact) {
+      val a = corpus.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("va"))
+      val b = corpus.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") >= tau)
+    } else {
+      val planes = hyperplanes(nBits, dim, seed)
+      val bits = nBits / bands
+      val mask = (1L << bits) - 1
+      val sig = lshSignature(asDouble(col("embedding")), planes)
+      val bucketed = corpus
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"), sig.as("sig"))
+        .select(col("vec_id"), col("v"), posexplode(
+          array((0 until bands).map(bnd =>
+            shiftright(col("sig"), bnd * bits).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val l = bucketed.select(col("band"), col("bkey"), col("vec_id").as("id_a"), col("v").as("va"))
+      val r = bucketed.select(col("band"), col("bkey"), col("vec_id").as("id_b"), col("v").as("vb"))
+      l.join(r, Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") >= tau)
+    }
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validates the training-data pipeline operators: dedup family (exact,
+  * n-gram Jaccard, MinHash-LSH, SimHash), embedding similarity (brute vs
+  * LSH), text analysis, and the multimodal plumbing. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** documents ∪ near-copies of every 10th doc. */
+  private lazy val nearDup = {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
+    d.unionByName(d.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" graftdup graftdup")).as("text"))).cache()
+  }
+
+  test("exact dedup finds exactly the injected copies") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
+    val withCopies = d.unionByName(d.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val groups = Dedup.exactGroups(withCopies).collect()
+    val expected = d.filter($"doc_id" % 10 === 0).count()
+    assert(groups.length == expected)
+    assert(groups.forall(_.getLong(2) == 2)) // n_dups
+  }
+
+  test("minhash-LSH pairs == exact ngram-jaccard pairs (recall check)") {
+    val exact = Dedup.ngramJaccardPairs(nearDup, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(nearDup, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "injected dups must create high-jaccard pairs")
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("simhash pairs == brute-force hamming pairs (pigeonhole recall)") {
+    Seq(3, 7).foreach { d =>
+      val pairs = Dedup.simHashPairs(nearDup, maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force over all simhashes (Seq, NOT Map — a for over a Map would
+      // collapse pairs sharing id_a)
+      val hs = Dedup.simHashes(nearDup).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val brute = (for {
+        (a, ha) <- hs; (b, hb) <- hs
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= d
+      } yield (a, b)).toSet
+      assert(pairs == brute, s"maxDist=$d: missed ${brute -- pairs}, extra ${pairs -- brute}")
+      if (d == 7) {
+        val injected = pairs.filter { case (a, b) => b == a + 100000 }
+        assert(injected.nonEmpty, "some injected near-dups must be within distance 7")
+      }
+    }
+  }
+
+  test("LSH ANN recall@5 vs brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(qs, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.lshTopK(qs, emb, 5, nBits = 16, bands = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 $mean too low")
+  }
+
+  test("embedding dup pairs: exact and LSH-bucketed paths agree on injected copies") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select($"vec_id", $"embedding")
+    val withCopies = e.unionByName(e.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val exact = Similarity.embeddingDupPairs(withCopies, 0.95, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingDupPairs(withCopies, 0.95, exact = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val injected = e.filter($"vec_id" % 20 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    assert(injected.subsetOf(exact))
+    // identical vectors share every band bucket — LSH must find all of them
+    assert(injected.subsetOf(lsh))
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("langId recovers planted language markers; und for no hits") {
+    val docs = Seq(
+      (1L, "der hund ist nicht die katze und der vogel"),
+      (2L, "the cat and the dog of the house is that it"),
+      (3L, "el perro la casa de que los una por el"),
+      (4L, "le chat la maison et les des une est le"),
+      (5L, "xyzzy qwerty asdf")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "es", 4L -> "fr", 5L -> "und"))
+  }
+
+  test("quality features on a crafted doc") {
+    val docs = Seq((1L, "the the cat! cat? 42")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(docs).collect().head
+    assert(r.getLong(1) == 5)                      // n_tokens
+    assert(r.getLong(2) == 20L)                    // n_chars
+    assert(math.abs(r.getDouble(4) - 0.4) < 1e-9)  // stopword ratio: the,the
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val docs = Seq((1L, "foo bar42 baz!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs).collect().head
+    assert(r.getLong(1) == 3) // ws tokens
+    assert(r.getLong(2) == 5) // foo, bar, 42, baz, !
+  }
+
+  test("winnowing fingerprints: deterministic, shared between near-dups") {
+    val fps = TextAnalysis.fingerprints(nearDup, k = 4, w = 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    val shared = fps.collect {
+      case (id, set) if id >= 100000 && fps.contains(id - 100000) =>
+        set.intersect(fps(id - 100000)).size.toDouble / set.size
+    }
+    // short docs have few windows, so an appended-token copy can perturb a
+    // larger share of its fingerprints — require a strong mean and a sane floor
+    assert(shared.nonEmpty && shared.sum / shared.size > 0.7 && shared.forall(_ >= 0.3),
+      s"near-dup docs must share most fingerprints: $shared")
+  }
+
+  test("multimodal stub codec + metadata plumbing") {
+    val (magic, w, h, ok) = Multimodal.StubCodec.decode("abcd rest".getBytes("UTF-8"))
+    assert(ok && magic == "61626364")
+    assert(w == 0x61 * 256 + 0x62 && h == 0x63 * 256 + 0x64)
+    val docs = Seq((7L, "abcdefgh" * 10)).toDF("doc_id", "text")
+    val meta = Multimodal.extractMeta(Multimodal.withPayload(docs)).collect().head
+    assert(meta.doc_id == 7L && meta.n_bytes == 80 && meta.ok)
+    val frames = Multimodal.sampleFrames(Multimodal.withPayload(docs)).collect()
+    assert(frames.length == 2) // 80/16 = 5 frames, stride 4 -> idx 0, 4
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 16))
+  }
+}
