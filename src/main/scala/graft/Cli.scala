@@ -1,0 +1,66 @@
+package graft
+
+import graft.core.{CorpusDoc, IndexConfig}
+import graft.index.IndexStore
+import graft.search.{SearchEngine, SearchMode}
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point (north rule: "runs via spark-submit on
+  * multi-executor clusters"). The session comes from spark-submit's conf —
+  * no master/memory is hardcoded here; local runs fall back to local[*].
+  *
+  * {{{
+  * spark-submit --class graft.Cli app.jar build  <corpusParquet> <indexDir> [--resume]
+  * spark-submit --class graft.Cli app.jar search <indexDir> <k> <mode> <query...>
+  * spark-submit --class graft.Cli app.jar delete <indexDir> <docId,docId,...>
+  * spark-submit --class graft.Cli app.jar compact <indexDir>
+  * spark-submit --class graft.Cli app.jar fields <indexDir>
+  * }}}
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: build|search|delete|compact|fields ...")
+    val spark = SparkSession.builder()
+      .appName(s"graft-${args(0)}")
+      .master(sys.props.getOrElse("spark.master",
+        sys.env.getOrElse("MASTER", "local[*]")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    try args(0) match {
+      case "build" =>
+        val Array(_, input, indexDir) = args.take(3)
+        val resume = args.contains("--resume")
+        val store = new IndexStore(spark, indexDir, IndexConfig())
+        val t0 = System.nanoTime()
+        val corpus = spark.read.parquet(input).as[CorpusDoc]
+        val segId =
+          if (resume && store.segments.nonEmpty)
+            store.buildSegmentAt(store.segments.map(_.id).max, corpus, resume = true)
+          else store.createSegment(corpus, resume)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = store.segments.find(_.id == segId).map(_.numDocs).getOrElse(0L)
+        println(f"[graft] built seg-$segId: $n docs in $sec%.1f s (${n / sec}%.0f files/sec)")
+      case "search" =>
+        val indexDir = args(1); val k = args(2).toInt
+        val mode = args(3) match {
+          case "and" => SearchMode.And
+          case "wand" => SearchMode.Wand
+          case _ => SearchMode.Or
+        }
+        val query = args.drop(4).mkString(" ")
+        val engine = new SearchEngine(new IndexStore(spark, indexDir, IndexConfig()))
+        engine.searchDocs(query, k = k, mode = mode).show(k, truncate = 80)
+      case "delete" =>
+        val store = new IndexStore(spark, args(1), IndexConfig())
+        store.delete(args(2).split(",").map(_.trim.toLong).toSeq)
+        println(s"[graft] tombstoned ${args(2)}")
+      case "compact" =>
+        new IndexStore(spark, args(1), IndexConfig()).compact()
+        println("[graft] compacted")
+      case "fields" =>
+        new IndexStore(spark, args(1), IndexConfig()).listFields().show(100)
+      case other => sys.error(s"unknown command $other")
+    } finally spark.stop()
+  }
+}

@@ -100,9 +100,11 @@ object QueryRegistry {
   /** BM25 top-k oracle (k1=1.2, b=0.75; SURVEY.md §A.4). */
   def bm25Sql(terms: Seq[String], k: Int, and: Boolean = false,
               prefixes: Seq[String] = Seq.empty,
+              termSubquery: Option[String] = None,
               docs: String = "SELECT doc_id, text FROM documents"): String = {
     val termPred =
-      if (prefixes.nonEmpty)
+      if (termSubquery.isDefined) s"tf.term IN (${termSubquery.get})"
+      else if (prefixes.nonEmpty)
         s"tf.term IN (SELECT term FROM df WHERE " +
           prefixes.map(p => s"term LIKE '$p%'").mkString(" OR ") +
           " ORDER BY term LIMIT 100)"
@@ -228,7 +230,7 @@ object QueryRegistry {
       (s, dir) => engineFor(s, dir).store.docStats()
         .select(col("doc_id"), col("content_sha")).orderBy("doc_id"),
       Some("SELECT doc_id, sha256(text) AS content_sha FROM documents ORDER BY doc_id"))
-  ) ++ PipelineQueries.all
+  ) ++ PipelineQueries.all ++ ExtraQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -278,6 +278,17 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     else spark.read.parquet(tp.toString)
   }
 
+  /** Field catalog: per-field live doc count and distinct term count — the
+    * reference's listIndexes (field name + TotalDocuments,
+    * indexing.go:235-250). */
+  def listFields(): DataFrame = {
+    val fs = fieldStats().toSeq.map { case (f, (n, s)) => (f, n, s) }
+      .toDF("field", "n_docs", "sum_dl")
+    val terms = termDf().groupBy(col("field")).agg(count(lit(1)).as("n_terms"))
+    fs.join(terms, Seq("field"), "left").na.fill(0L, Seq("n_terms"))
+      .select(col("field"), col("n_docs"), col("n_terms")).orderBy("field")
+  }
+
   // ---------- CRUD ----------
 
   /** Append a batch of new documents (new doc_ids) as a fresh segment. */

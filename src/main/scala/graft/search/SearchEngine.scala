@@ -60,6 +60,33 @@ class SearchEngine(val store: IndexStore) {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
   }
 
+  /** Fuzzy term expansion (reference FuzzySearch, indexing.go:689-709):
+    * walk the dictionary subtree of the query's first character and keep
+    * terms containing every character of the query. As a term-dictionary
+    * range scan + character-containment filter, it needs no extra index. */
+  def expandFuzzy(key: String, fields: Seq[String]): Seq[(String, String)] = {
+    val k = key.toLowerCase
+    if (k.isEmpty) return Seq.empty
+    val lo = k.substring(0, 1)
+    val hi = (k.charAt(0) + 1).toChar.toString
+    val containsAll = k.distinct.map(c => $"term".contains(c.toString))
+      .reduce(_ && _)
+    store.termDf()
+      .filter($"field".isInCollection(fields) && $"term" >= lo && $"term" < hi)
+      .filter(containsAll)
+      .select($"field", $"term")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** Fuzzy search: expand each query token with [[expandFuzzy]], then score
+    * the matched terms with the standard BM25 accumulation. */
+  def searchFuzzy(query: String, fields: Seq[String] = CorpusDoc.Fields,
+                  k: Int = 100): DataFrame = {
+    val qTerms = Analyzer.tokenize(query).distinct.sorted.toSeq
+    val matched = qTerms.flatMap(t => expandFuzzy(t, fields)).distinct
+    exhaustive(qTerms, matched, fields, k, SearchMode.Or)
+  }
+
   /** Full search entry point mirroring the reference API
     * (`POST /index/search` body {Query, Fields, BeginsWith},
     * indexRoutes.go:13-17): analyze the query with the same analyzer as the

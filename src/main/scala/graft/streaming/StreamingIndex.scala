@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.core.CorpusDoc
+import graft.index.IndexStore
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §7.6).
+  *
+  * The reference ingests documents push-per-HTTP-request and replicates each
+  * mutation to the cluster (indexRoutes.go:66-89, clustering.go:521-542);
+  * the Spark-native equivalent is micro-batch ingest: a file stream of
+  * corpus rows where every micro-batch commits one index segment via
+  * `foreachBatch` — visibility-on-commit replaces replication, and segment
+  * search composes batches exactly like the reference's eventually-
+  * consistent adds.
+  */
+object StreamingIndex {
+
+  val corpusSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("repo", StringType),
+    StructField("path", StringType), StructField("commit", StringType),
+    StructField("lang", StringType), StructField("content", StringType)))
+
+  /** Micro-batch incremental indexing: each micro-batch (here: one input
+    * file, via maxFilesPerTrigger=1) becomes one committed segment. */
+  def indexStream(spark: SparkSession, inputDir: String,
+                  store: IndexStore): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream
+      .schema(corpusSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .as[CorpusDoc]
+      .writeStream
+      .foreachBatch { (batch: Dataset[CorpusDoc], _: Long) =>
+        if (!batch.isEmpty) { store.add(batch); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", inputDir + ".checkpoint")
+      .start()
+  }
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Watermarked tumbling-window aggregation over the events stream —
+    * the canonical Structured Streaming windowed agg (1h windows per
+    * event_type: count + sum(value)). `complete` output to a memory sink so
+    * a bounded replay yields every window deterministically. */
+  def windowedEventCounts(spark: SparkSession, eventsDir: String,
+                          queryName: String): StreamingQuery = {
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(eventsDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Stateful sessionization demo: flatMapGroupsWithState over user ids —
+    * emits (user_id, n_events, total_value) per user with custom state,
+    * the KeyValueGroupedDataset stateful-processing surface. */
+  def userTotalsStream(spark: SparkSession, eventsDir: String,
+                       queryName: String): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val events = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      .select(col("user_id").as[Long], col("value").as[Double])
+      .as[(Long, Double)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          Iterator((uid, n, v))
+      }
+      .toDF("user_id", "n_events", "total_value")
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

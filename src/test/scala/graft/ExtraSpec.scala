@@ -1,0 +1,100 @@
+package graft
+
+import graft.core.IndexConfig
+import graft.corpus.CorpusGen
+import graft.functions.JsonShape
+import graft.index.IndexStore
+import graft.search.SearchEngine
+import graft.streaming.StreamingIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fuzzy search (O10), catalog (O21), JSON flatten/nest (O3/O4), and the
+  * Structured Streaming surface (§7.6). */
+class ExtraSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fuzzy expansion: first-char subtree + all-chars containment") {
+    val dir = TestSpark.tempDir("fuzzy")
+    val store = new IndexStore(spark, dir, IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(CorpusGen.generate(spark, 80, seed = 3))
+    val engine = new SearchEngine(store)
+    val terms = engine.expandFuzzy("ipmort", Seq("content")).map(_._2)
+    assert(terms.contains("import"), s"got $terms") // i-subtree, chars {i,p,m,o,r,t}
+    assert(terms.forall(t => t.startsWith("i") && "ipmort".distinct.forall(t.contains(_))))
+    val hits = engine.searchFuzzy("ipmort", Seq("content"), k = 5).collect()
+    assert(hits.nonEmpty)
+  }
+
+  test("listFields catalog matches corpus-derived counts") {
+    val dir = TestSpark.tempDir("cat")
+    val store = new IndexStore(spark, dir, IndexConfig(shardSpan = 64))
+    val docs = CorpusGen.generate(spark, 40, seed = 5)
+    store.createSegment(docs)
+    val rows = store.listFields().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("repo", "path", "commit", "lang", "content"))
+    assert(rows("lang")._1 == 40)
+    val langTerms = docs.collect().map(_.lang.toLowerCase).distinct.length
+    assert(rows("lang")._2 == langTerms)
+  }
+
+  test("flatten produces reference-style keys; nest inverts it") {
+    val df = Seq((1L, ("x", (2, "y")))).toDF("id", "info")
+      .select($"id", $"info._1".as("a"),
+        struct($"info._1".as("b"), struct($"info._2._1".as("c")).as("m")).as("s"))
+    val flat = JsonShape.flatten(df)
+    assert(flat.columns.toSeq == Seq("id", "a", "s\\.b", "s\\.m\\.c"))
+    val restored = JsonShape.nest(flat)
+    assert(restored.schema == df.schema)
+    assert(restored.collect().toSeq == df.collect().toSeq)
+  }
+
+  test("streaming micro-batch indexing equals batch build") {
+    val work = TestSpark.tempDir("stream")
+    val docs = CorpusGen.generate(spark, 90, seed = 17)
+    // three chunk files arriving as separate micro-batches
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    (0 until 3).foreach { i =>
+      docs.filter($"doc_id" % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$work/chunks/c$i")
+      val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$work/chunks/c$i/*.parquet")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/stream"))
+      fs.rename(src, new org.apache.hadoop.fs.Path(s"$work/stream/c$i.parquet"))
+    }
+    val cfg = IndexConfig(shardSpan = 64, fields = Seq("content"))
+    val streamStore = new IndexStore(spark, s"$work/sidx", cfg)
+    StreamingIndex.indexStream(spark, s"$work/stream", streamStore).awaitTermination()
+    assert(streamStore.segments.size == 3, "one segment per micro-batch")
+    val batchStore = new IndexStore(spark, s"$work/bidx", cfg)
+    batchStore.createSegment(docs)
+    val q = "import the class"
+    val a = new SearchEngine(streamStore).search(q, Seq("content"), k = 15)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+    val b = new SearchEngine(batchStore).search(q, Seq("content"), k = 15)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+    assert(a.toSeq == b.toSeq, "segmented streaming index must equal batch index")
+  }
+
+  test("windowed streaming agg equals batch aggregation") {
+    val work = TestSpark.tempDir("winstream")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/ev"))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path("/root/testdata/sf0.001/events.parquet"),
+      fs, new org.apache.hadoop.fs.Path(s"$work/ev/e0.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    StreamingIndex.windowedEventCounts(spark, s"$work/ev", "t_win").awaitTermination()
+    val streamed = spark.table("t_win")
+      .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+    val batch = spark.read.schema(StreamingIndex.eventsSchema).parquet(s"$work/ev")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select($"window.start".cast("long").as("window_start"),
+        $"event_type", $"n", round($"sum_value", 4).as("sum_value"))
+      .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+}
