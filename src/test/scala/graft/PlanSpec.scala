@@ -1,0 +1,66 @@
+package graft
+
+import graft.core.IndexConfig
+import graft.corpus.CorpusGen
+import graft.index.IndexStore
+import graft.search.{SearchEngine, SearchMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale story only holds if the plans are what we
+  * think they are. Checks parquet filter pushdown on the term dictionary,
+  * broadcast of the tiny stats relation, and top-k via
+  * TakeOrderedAndProject (no global sort). */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private lazy val engine: SearchEngine = {
+    val store = new IndexStore(spark, TestSpark.tempDir("plan"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(CorpusGen.generate(spark, 120, seed = 31))
+    new SearchEngine(store)
+  }
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("exact-term search pushes term equality into the parquet scan") {
+    val plan = physicalPlan(engine.search("import", Seq("content"), k = 10))
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("In(term") || plan.contains("EqualTo(term") ||
+      plan.contains("IsNotNull(term"), "term filter must reach the scan:\n" + plan.take(3000))
+    // no pushed-filter-free full scan of the postings table
+    assert(!plan.contains("PushedFilters: []") ||
+      plan.split("PushedFilters").length <= 2,
+      "postings scan must carry pushed filters:\n" + plan.take(3000))
+  }
+
+  test("prefix search pushes the term range into the df-table scan") {
+    val dfScan = engine.store.termDf()
+      .filter(org.apache.spark.sql.functions.col("term") >= "im" &&
+        org.apache.spark.sql.functions.col("term") < "in")
+    val plan = physicalPlan(dfScan)
+    assert(plan.contains("GreaterThanOrEqual(term,im)") && plan.contains("LessThan(term,in)"),
+      "range predicate must be pushed:\n" + plan.take(3000))
+  }
+
+  test("scoring uses a broadcast join for term stats and TakeOrderedAndProject for top-k") {
+    val df = engine.search("import class", Seq("content"), k = 10)
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "stats join must broadcast:\n" + plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must not materialize a global sort:\n" + plan.take(3000))
+    assert(!plan.contains("SortExec") || !plan.contains("GlobalLimit"),
+      "no global sort expected")
+  }
+
+  test("whole-stage codegen covers the BM25 scoring expression (final AQE plan)") {
+    val df = engine.search("import the", Seq("content"), k = 10)
+    df.collect() // AQE finalizes the plan on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
+    // in the final-plan rendering codegen stages print as "*(n) Operator"
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(3000))
+  }
+}
