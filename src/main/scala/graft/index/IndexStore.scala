@@ -278,6 +278,19 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     else spark.read.parquet(tp.toString)
   }
 
+  /** Cheap store-version token (driver-side FS metadata only): changes when
+    * any segment commits or any tombstone/df correction lands. Lets query
+    * layers cache stats/plans and invalidate correctly after CRUD. */
+  def versionToken(): String = {
+    def m(path: Path): String =
+      if (fs.exists(path)) {
+        val st = fs.getFileStatus(path)
+        s"${st.getModificationTime}:${if (st.isDirectory) fs.listStatus(path).length else st.getLen}"
+      } else "-"
+    Seq(p("manifest.json"), p("tombstones"), p("dfdelta"), p("tombstats"))
+      .map(m).mkString("|")
+  }
+
   /** Field catalog: per-field live doc count and distinct term count — the
     * reference's listIndexes (field name + TotalDocuments,
     * indexing.go:235-250). */

@@ -54,7 +54,7 @@ class SearchEngine(val store: IndexStore) {
   def expandPrefix(prefix: String, fields: Seq[String], cap: Int = 100): Seq[(String, String)] = {
     val lo = prefix.toLowerCase
     val hi = lo.init + (lo.last + 1).toChar
-    store.termDf()
+    cachedTermDf()
       .filter($"field".isInCollection(fields) && $"term" >= lo && $"term" < hi)
       .select($"field", $"term").orderBy($"term").limit(cap)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
@@ -71,7 +71,7 @@ class SearchEngine(val store: IndexStore) {
     val hi = (k.charAt(0) + 1).toChar.toString
     val containsAll = k.distinct.map(c => $"term".contains(c.toString))
       .reduce(_ && _)
-    store.termDf()
+    cachedTermDf()
       .filter($"field".isInCollection(fields) && $"term" >= lo && $"term" < hi)
       .filter(containsAll)
       .select($"field", $"term")
@@ -118,15 +118,43 @@ class SearchEngine(val store: IndexStore) {
       .orderBy(desc("score"), asc("doc_id"))
   }
 
+  // ---------- per-store-version caches ----------
+  // fieldStats / tombstones / the unioned table plans are re-read only when
+  // the store's version token changes (any segment commit or tombstone).
+  // This removes 3-4 driver-side jobs + file listings from EVERY query —
+  // the reference pays none of these because its index lives in RAM.
+
+  private var cacheToken: String = null
+  private var fieldStatsC: Map[String, (Long, Long)] = Map.empty
+  private var tombstoneC: Map[Long, Int] = Map.empty
+  private var postingsC: DataFrame = _
+  private var termDfC: DataFrame = _
+
+  private def refreshIfStale(): Unit = synchronized {
+    val t = store.versionToken()
+    if (t != cacheToken) {
+      fieldStatsC = store.fieldStats()
+      tombstoneC = store.tombstoneMap()
+      postingsC = store.postings()
+      termDfC = store.termDf()
+      cacheToken = t
+    }
+  }
+
+  private[search] def cachedPostings(): DataFrame = { refreshIfStale(); postingsC }
+  private[search] def cachedTermDf(): DataFrame = { refreshIfStale(); termDfC }
+  private[search] def cachedTombstones(): Map[Long, Int] = { refreshIfStale(); tombstoneC }
+
   // ---------- scoring internals ----------
 
   /** idf + avgdl statistics for the matched (field, term) pairs, computed on
     * the driver (≤ |fields|·|terms| rows) and broadcast. */
   private[search] def termStats(matched: Seq[(String, String)]): Seq[(String, String, Double, Double)] = {
-    val fstats = store.fieldStats()
+    refreshIfStale()
+    val fstats = fieldStatsC
     val fieldsTouched = matched.map(_._1).distinct
     val terms = matched.map(_._2).distinct
-    val dfMap = store.termDf()
+    val dfMap = cachedTermDf()
       .filter($"field".isInCollection(fieldsTouched) && $"term".isInCollection(terms))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     matched.flatMap { case (f, t) =>
@@ -141,7 +169,8 @@ class SearchEngine(val store: IndexStore) {
   }
 
   private[search] def tombstoneFiltered(decoded: DataFrame): DataFrame = {
-    val ts = store.tombstoneMap()
+    refreshIfStale()
+    val ts = tombstoneC
     if (ts.isEmpty) decoded
     else {
       val tsDF = broadcast(ts.toSeq.toDF("t_doc_id", "t_max_seg"))
@@ -154,7 +183,7 @@ class SearchEngine(val store: IndexStore) {
   /** Selects only the shards of the matched terms — equality pushdown on the
     * (field, term)-sorted postings table. */
   def matchedShards(matched: Seq[(String, String)]): DataFrame = {
-    val all = store.postings()
+    val all = cachedPostings()
     if (all.isEmpty) return all
     val fields = matched.map(_._1).distinct
     val terms = matched.map(_._2).distinct

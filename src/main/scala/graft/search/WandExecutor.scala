@@ -44,7 +44,7 @@ class WandExecutor(engine: SearchEngine) {
       .repartition(col("shard"))
 
     val statsB = spark.sparkContext.broadcast(statsMap)
-    val tombB = spark.sparkContext.broadcast(engine.store.tombstoneMap())
+    val tombB = spark.sparkContext.broadcast(engine.cachedTombstones())
 
     val partials = shards.mapPartitions { rows =>
       val st = statsB.value
