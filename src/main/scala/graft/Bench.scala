@@ -99,6 +99,14 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Recursive on-disk size of a directory (bytes). */
+  private def dirBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (!f.exists) 0L
+    else if (f.isFile) f.length
+    else f.listFiles.map(x => dirBytes(x.getPath)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "500000").toLong
@@ -133,6 +141,9 @@ object Bench {
           s""""index_build_${nHigh}c":${f(high.buildSec)}""",
           s""""index_build_${nPeak}c":${f(peak.buildSec)}""")
     ).mkString("{", ",", "}")
+    val corpusBytes = dirBytes(s"$work/corpus")
+    val postingsBytes = dirBytes(s"$work/idx-$nPeak/seg-0/postings")
+    val indexBytes = dirBytes(s"$work/idx-$nPeak") - dirBytes(s"$work/idx-$nPeak/seg-0/corpus")
     val json =
       s"""{"metric":"index_docs_per_sec_peak","value":${f(peak.docsPerSec)},"unit":"docs/sec",""" +
       s""""queries":$queriesJson,"sf":"$sfDir",""" +
@@ -143,6 +154,8 @@ object Bench {
       s""""scaling_pair":"${nLow}->${nHigh}",""" +
       s""""scaling_efficiency":${f(efficiency)},""" +
       s""""rank_identical_across_levels":$rankIdentical,""" +
+      s""""corpus_bytes":$corpusBytes,"postings_bytes":$postingsBytes,""" +
+      s""""index_bytes_total":$indexBytes,""" +
       s""""query_p50_ms_${nPeak}c":${f(median(peak.queryMs.values.toSeq))}}"""
 
     val md =
@@ -160,6 +173,10 @@ object Bench {
          |
          |**Scaling efficiency (N→4N, $nLow→$nHigh cores):** ${f(efficiency)} (target ≥ 0.8)
          |**Top-10 docIDs rank-identical across all levels:** $rankIdentical
+         |**Index size:** postings ${postingsBytes / 1048576} MB
+         |(delta+varint blobs + block metadata) for a ${corpusBytes / 1048576} MB
+         |parquet corpus — ${f(postingsBytes.toDouble / corpusBytes)}x; full index
+         |incl. df/stats tables ${indexBytes / 1048576} MB.
          |
          |Why N=$nLow: all cores of this single VM share one memory system;
          |the build is string/alloc-heavy and its measured CPU time inflates

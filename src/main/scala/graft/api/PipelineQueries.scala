@@ -136,6 +136,18 @@ object PipelineQueries {
              |QUALIFY rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
+    // IVF ANN (k-means coarse quantizer): approximate, recall asserted in
+    // PipelineSpec vs brute force; rows-only driver check.
+    QueryDef("q_ann_ivf_cosine",
+      (s, dir) => {
+        val emb = Corpus.embeddings(s, dir)
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, k = 5,
+            nLists = 16, nProbe = 4)
+          .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank")
+      },
+      None),
+
     // LSH ANN is approximate by design — recall vs brute force is asserted
     // in PipelineSpec; the driver check is rows-only.
     QueryDef("q_ann_lsh_cosine",

@@ -92,6 +92,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer (MLlib KMeans,
+    * seeded) partitions the corpus into nLists cells; a query scores only
+    * the vectors of its nProbe nearest cells. The classic
+    * recall/throughput-tunable scale path: the candidate join is keyed on
+    * cell id, touching ~nProbe/nLists of the corpus per query.
+    * Output: (qid, vec_id, cos, rank ≤ k). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val withVec = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("features", array_to_vector(col("emb")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("emb").as("cv"), col("prediction").as("cell"))
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    // per query: nProbe nearest centroids via Column arithmetic over the
+    // (tiny, literal) centroid set — no driver round-trip per query
+    def l2(q: Column, cent: Array[Double]): Column =
+      aggregate(zip_with(q, array(cent.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)
+    val distCells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2(col("qv"), c).as("d"), lit(i).as("cell"))
+    }: _*)
+    val probes = broadcast(
+      queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+        .withColumn("probe", explode(slice(array_sort(distCells), 1, nProbe)))
+        .select(col("qid"), col("qv"), col("probe.cell").as("cell")))
+
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
+    val _ = spark
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ tau, bucketed
     * by LSH bands so the pair join is not a cross product. `exact = true`
     * falls back to the full O(n²) join (tiny inputs / oracle parity). */

@@ -75,6 +75,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall@5 $mean too low")
   }
 
+  test("IVF ANN recall@5 vs brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(qs, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(qs, emb, 5, nLists = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"IVF mean recall@5 $mean too low")
+  }
+
   test("embedding dup pairs: exact and LSH-bucketed paths agree on injected copies") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select($"vec_id", $"embedding")
     val withCopies = e.unionByName(e.filter($"vec_id" % 20 === 0)
