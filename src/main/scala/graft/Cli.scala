@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.{CorpusDoc, IndexConfig}
+import graft.corpus.CorpusGen
 import graft.index.IndexStore
 import graft.search.{SearchEngine, SearchMode}
 import org.apache.spark.sql.SparkSession
@@ -28,6 +29,11 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     try args(0) match {
+      case "gen" =>
+        val n = args(1).toLong
+        CorpusGen.generate(spark, n, seed = 42, numRepos = 200)
+          .write.mode("overwrite").parquet(args(2))
+        println(s"[graft] generated $n docs at ${args(2)}")
       case "build" =>
         val Array(_, input, indexDir) = args.take(3)
         val resume = args.contains("--resume")

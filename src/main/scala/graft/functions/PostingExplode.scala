@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.index.PostingCodec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Native Catalyst `Generator` that explodes a delta+varint posting blob
+  * into (doc_id, tf, dl) rows — the table-function twin of
+  * `PostingCodec.decodeAll` (SURVEY.md §4.3 "optional polish": an
+  * `Expression` for varint decode).
+  *
+  * Compared to the typed `flatMap` decode path, the generator stays inside
+  * the relational plan: no Tuple encoder round-trip, `GenerateExec` consumes
+  * the blob bytes directly from the UnsafeRow and emits InternalRows in
+  * place. Registered as a Column function (`PostingExplode.posting_explode`)
+  * and as a SQL generator function via [[GraftFunctions.register]].
+  */
+case class PostingExplode(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("tf", IntegerType, nullable = false),
+    StructField("dl", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"posting_explode requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val blob = child.eval(input).asInstanceOf[Array[Byte]]
+    if (blob == null) Iterator.empty
+    else new Iterator[InternalRow] {
+      private val pos = Array(0)
+      private var prevDoc = 0L
+      override def hasNext: Boolean = pos(0) < blob.length
+      override def next(): InternalRow = {
+        val d = prevDoc + PostingCodec.readVarint(blob, pos)
+        val tf = PostingCodec.readVarint(blob, pos).toInt
+        val dl = PostingCodec.readVarint(blob, pos).toInt
+        prevDoc = d
+        new GenericInternalRow(Array[Any](d, tf, dl))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PostingExplode =
+    copy(child = newChild)
+}
+
+/** Column + SQL registration helpers for the engine's custom expressions. */
+object GraftFunctions {
+
+  import org.apache.spark.sql.GraftColumnBridge
+
+  /** blob -> rows (doc_id, tf, dl). */
+  def posting_explode(blob: Column): Column =
+    GraftColumnBridge.column(PostingExplode(GraftColumnBridge.expression(blob)))
+
+  /** Registers `posting_explode` for SQL use on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "posting_explode", exprs => PostingExplode(exprs.head), "built-in")
+  }
+}

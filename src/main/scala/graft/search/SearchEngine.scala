@@ -38,15 +38,13 @@ class SearchEngine(val store: IndexStore) {
   private def spark: SparkSession = store.spark
   private def bm25: Bm25Params = store.cfg.bm25
 
-  /** Decoded posting rows for the given shard subset. */
+  /** Decoded posting rows for the given shard subset — via the native
+    * Catalyst generator [[graft.functions.PostingExplode]]: the blob is
+    * consumed straight from the UnsafeRow inside GenerateExec, with no typed
+    * encoder round-trip. */
   def decode(shards: DataFrame): DataFrame =
-    shards.select($"field", $"term", $"seg", $"blob")
-      .as[(String, String, Int, Array[Byte])]
-      .flatMap { case (field, term, seg, blob) =>
-        PostingCodec.decodeAll(blob).iterator.map { case (d, tf, dl) =>
-          (field, term, seg, d, tf, dl)
-        }
-      }.toDF("field", "term", "seg", "doc_id", "tf", "dl")
+    shards.select($"field", $"term", $"seg",
+      graft.functions.GraftFunctions.posting_explode($"blob"))
 
   /** Expands a `beginsWith` prefix to concrete index terms via a range scan
     * on the term-sorted df table — the analogue of the reference's radix

@@ -52,6 +52,21 @@ class ExtraSpec extends AnyFunSuite {
     assert(restored.collect().toSeq == df.collect().toSeq)
   }
 
+  test("posting_explode generator decodes blobs identically to the codec, incl. SQL") {
+    val ps = (0 until 500).map(i => (i * 7L, 1 + i % 9, 50 + i % 31)).toArray
+    val (blocks, blob) = graft.index.PostingCodec.encode(ps)
+    val _ = blocks
+    val df = Seq(Tuple1(blob)).toDF("blob")
+    val viaCol = df.select(graft.functions.GraftFunctions.posting_explode($"blob"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(viaCol.toSeq == ps.toSeq)
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("blobs")
+    val viaSql = spark.sql("SELECT posting_explode(blob) AS (doc_id, tf, dl) FROM blobs")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(viaSql.toSeq == ps.toSeq)
+  }
+
   test("streaming micro-batch indexing equals batch build") {
     val work = TestSpark.tempDir("stream")
     val docs = CorpusGen.generate(spark, 90, seed = 17)
