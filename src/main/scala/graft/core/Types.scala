@@ -104,6 +104,11 @@ final case class IndexConfig(
     shardSpan: Long = 1L << 20,
     bm25: Bm25Params = Bm25Params(),
     fields: Seq[String] = CorpusDoc.Fields,
+    /** Candidate-volume bound (bytes) under which WAND top-k runs on the
+      * driver (one pruned scan, no shuffle). 0 forces the distributed path
+      * (used by tests); hot-term queries at corpus scale exceed any sane
+      * bound and always distribute. */
+    driverWandMaxBytes: Long = 32L << 20,
     /** Persist the tokenized posting rows (MEMORY_AND_DISK) so the range
       * partitioner's sampling pass doesn't re-tokenize the corpus, and
       * independent stages can overlap. Right at any scale where the cluster

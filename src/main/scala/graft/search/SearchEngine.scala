@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * accumulation (OR, indexing.go:385-493); AND is the intersection variant
   * the north rule's WAND path assumes; Wand is AND/OR-equivalent top-k with
   * block-max pruning. */
+/** Driver-side per-(field, term) query statistics. */
+final case class TermStat(field: String, term: String, df: Long,
+                          idf: Double, avgdl: Double)
+
 sealed trait SearchMode
 object SearchMode {
   case object Or extends SearchMode
@@ -145,9 +149,9 @@ class SearchEngine(val store: IndexStore) {
 
   // ---------- scoring internals ----------
 
-  /** idf + avgdl statistics for the matched (field, term) pairs, computed on
-    * the driver (≤ |fields|·|terms| rows) and broadcast. */
-  private[search] def termStats(matched: Seq[(String, String)]): Seq[(String, String, Double, Double)] = {
+  /** idf + avgdl + df statistics for the matched (field, term) pairs,
+    * computed on the driver (≤ |fields|·|terms| rows) and broadcast. */
+  private[search] def termStats(matched: Seq[(String, String)]): Seq[TermStat] = {
     refreshIfStale()
     val fstats = fieldStatsC
     val fieldsTouched = matched.map(_._1).distinct
@@ -160,7 +164,7 @@ class SearchEngine(val store: IndexStore) {
         fstats.get(f).collect { case (n, sumDl) if n > 0 && df > 0 =>
           val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
           val avgdl = sumDl.toDouble / n
-          (f, t, idf, avgdl)
+          TermStat(f, t, df, idf, avgdl)
         }
       }
     }
@@ -199,7 +203,8 @@ class SearchEngine(val store: IndexStore) {
     if (matched.isEmpty) return spark.emptyDataset[Hit].toDF()
     val stats = termStats(matched)
     if (stats.isEmpty) return spark.emptyDataset[Hit].toDF()
-    val statsDF = broadcast(stats.toDF("field", "term", "idf", "avgdl"))
+    val statsDF = broadcast(
+      stats.map(s => (s.field, s.term, s.idf, s.avgdl)).toDF("field", "term", "idf", "avgdl"))
     val rows = tombstoneFiltered(decode(matchedShards(matched)))
     val k1 = lit(bm25.k1); val b = lit(bm25.b)
     val contrib = rows.join(statsDF, Seq("field", "term"))

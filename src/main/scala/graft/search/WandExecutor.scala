@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * ≤ k·partitions candidates with a final top-k — at k=10..100 this merge is
   * trivially small at any corpus scale.
   *
+  * Small-query fast path: when Σ df(t) (known on the driver from the stats
+  * lookup) bounds the candidate volume under `IndexConfig.driverWandMaxBytes`,
+  * the pruned blob rows are collected and BMW runs on the driver — one scan
+  * job instead of scan+shuffle+reduce. Hot-term queries at corpus scale
+  * exceed the bound and stay fully distributed (the query-coordinator
+  * pattern of real search engines).
+  *
   * Determinism: at full evaluation a doc's contributions are summed in
   * ascending (field, term) cursor order — the same order the single-node
   * oracle scorer uses — so scores are bit-identical and ranks exact
@@ -33,40 +40,58 @@ class WandExecutor(engine: SearchEngine) {
              fields: Seq[String], k: Int): DataFrame = {
     val spark = engine.store.spark
     if (matched.isEmpty) return spark.emptyDataset[Hit].toDF()
-    val stats = engine.termStats(matched) // (field, term, idf, avgdl)
+    val stats = engine.termStats(matched)
     if (stats.isEmpty) return spark.emptyDataset[Hit].toDF()
-    val statsMap = stats.map { case (f, t, idf, avgdl) => (f, t) -> (idf, avgdl) }.toMap
+    val statsMap = stats.map(s => (s.field, s.term) -> (s.idf, s.avgdl)).toMap
     val k1 = bm25.k1; val b = bm25.b; val kk = k
 
-    val shards = engine.matchedShards(matched)
+    val shardRows = engine.matchedShards(matched)
       .select($"field", $"term", $"seg", $"shard", $"blocks", $"blob")
       .as[(String, String, Int, Long, Array[Byte], Array[Byte])]
-      .repartition(col("shard"))
 
-    val statsB = spark.sparkContext.broadcast(statsMap)
-    val tombB = spark.sparkContext.broadcast(engine.cachedTombstones())
-
-    val partials = shards.mapPartitions { rows =>
-      val st = statsB.value
-      val tomb = tombB.value
-      val heap = new BoundedHitHeap(kk)
-      val byShard = rows.toSeq.groupBy(_._4).toSeq.sortBy(_._1)
-      byShard.foreach { case (_, group) =>
-        val cursors = group
+    def runShardGroups(
+        rows: Iterable[(String, String, Int, Long, Array[Byte], Array[Byte])],
+        tomb: Map[Long, Int], heap: BoundedHitHeap): Unit =
+      rows.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, group) =>
+        val cursors = group.toSeq
           .flatMap { case (f, t, seg, _, blocks, blob) =>
-            st.get((f, t)).map { case (idf, avgdl) =>
+            statsMap.get((f, t)).map { case (idf, avgdl) =>
               new TermCursor(f, t, seg, idf, avgdl, k1, b,
                 new PostingCodec.Cursor(blob, PostingCodec.decodeBlocks(blocks)))
             }
           }
-          .sortBy(c => (c.field, c.term))
-          .toArray
+          .sortBy(c => (c.field, c.term)).toArray
         if (cursors.nonEmpty) WandExecutor.runWand(cursors, tomb, heap)
       }
-      heap.result().iterator
-    }.toDF("doc_id", "score")
 
-    partials.orderBy(desc("score"), asc("doc_id")).limit(k)
+    // ~8 bytes/posting is conservative for the varint triplets + block meta
+    val estBytes = stats.map(_.df).sum * 8
+    if (estBytes <= engine.store.cfg.driverWandMaxBytes) {
+      val heap = new BoundedHitHeap(kk)
+      runShardGroups(shardRows.collect(), engine.cachedTombstones(), heap)
+      heap.result().toDF("doc_id", "score")
+        .orderBy(desc("score"), asc("doc_id")).limit(k)
+    } else {
+      val statsB = spark.sparkContext.broadcast(statsMap)
+      val tombB = spark.sparkContext.broadcast(engine.cachedTombstones())
+      val partials = shardRows.repartition(col("shard")).mapPartitions { rows =>
+        val st = statsB.value
+        val heap = new BoundedHitHeap(kk)
+        rows.toSeq.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, group) =>
+          val cursors = group
+            .flatMap { case (f, t, seg, _, blocks, blob) =>
+              st.get((f, t)).map { case (idf, avgdl) =>
+                new TermCursor(f, t, seg, idf, avgdl, k1, b,
+                  new PostingCodec.Cursor(blob, PostingCodec.decodeBlocks(blocks)))
+              }
+            }
+            .sortBy(c => (c.field, c.term)).toArray
+          if (cursors.nonEmpty) WandExecutor.runWand(cursors, tombB.value, heap)
+        }
+        heap.result().iterator
+      }.toDF("doc_id", "score")
+      partials.orderBy(desc("score"), asc("doc_id")).limit(k)
+    }
   }
 }
 

@@ -1,0 +1,105 @@
+package graft
+
+import graft.analysis.Analyzer
+import graft.core._
+import graft.corpus.CorpusGen
+import graft.index.IndexStore
+import graft.search.{OracleScorer, SearchEngine, SearchMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The seeded reference query set (FIXTURES.md §4; north-rule acceptance):
+  * 20 single exact terms across df deciles, 20 multi-term (OR + AND + WAND),
+  * 10 prefixes, 5 field-scoped, 5 guaranteed misses — every one required
+  * rank-identical to the single-node oracle with |Δscore| ≤ 1e-5. */
+class QuerySetSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val cfg = IndexConfig(shardSpan = 64)
+  private lazy val corpusDS = CorpusGen.generate(spark, 400, seed = 1234, numRepos = 30)
+  private lazy val corpusLocal: Seq[CorpusDoc] = corpusDS.collect().toSeq
+  private lazy val engine: SearchEngine = {
+    val s = new IndexStore(spark, TestSpark.tempDir("qset"), cfg)
+    s.createSegment(corpusDS)
+    new SearchEngine(s)
+  }
+
+  /** content-field vocabulary ordered by ascending df. */
+  private lazy val vocabByDf: Seq[(String, Int)] = {
+    val df = scala.collection.mutable.HashMap.empty[String, Int]
+    corpusLocal.foreach { d =>
+      Analyzer.tokenize(d.content).distinct.foreach(t => df.update(t, df.getOrElse(t, 0) + 1))
+    }
+    df.toSeq.sortBy { case (t, c) => (c, t) }
+  }
+
+  private def check(query: String, fields: Seq[String], beginsWith: Boolean,
+                    mode: SearchMode, k: Int = 10): Unit = {
+    val oracle = OracleScorer.search(corpusLocal, query, fields, beginsWith, k,
+      andSemantics = mode == SearchMode.And, cfg.bm25)
+    val got = engine.search(query, fields, beginsWith, k, mode)
+      .collect().map(r => Hit(r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_.doc_id) == oracle.map(_.doc_id),
+      s"rank mismatch [$query] mode=$mode bw=$beginsWith:\n got=${got.map(_.doc_id)}\n exp=${oracle.map(_.doc_id)}")
+    got.zip(oracle).foreach { case (g, o) =>
+      assert(math.abs(g.score - o.score) <= 1e-5,
+        s"score drift [$query] doc=${g.doc_id}: ${g.score} vs ${o.score}")
+    }
+  }
+
+  test("20 single exact terms sampled across df deciles (rare -> hot)") {
+    val rnd = new scala.util.Random(99)
+    val v = vocabByDf
+    val picks = (0 until 20).map { i =>
+      val decile = i % 10
+      val lo = v.size * decile / 10
+      val hi = math.max(lo + 1, v.size * (decile + 1) / 10)
+      v(lo + rnd.nextInt(hi - lo))._1
+    }
+    picks.foreach(t => check(t, Seq("content"), beginsWith = false, SearchMode.Wand))
+  }
+
+  test("20 multi-term queries (2-5 terms): OR, AND, WAND") {
+    val rnd = new scala.util.Random(7)
+    val v = vocabByDf.map(_._1).toIndexedSeq
+    (0 until 20).foreach { i =>
+      val n = 2 + rnd.nextInt(4)
+      val terms = Seq.fill(n)(v(rnd.nextInt(v.size))).distinct
+      val q = terms.mkString(" ")
+      val mode = i % 3 match {
+        case 0 => SearchMode.Or
+        case 1 => SearchMode.And
+        case _ => SearchMode.Wand
+      }
+      check(q, Seq("content"), beginsWith = false, mode)
+    }
+  }
+
+  test("10 prefix queries (2-4 char prefixes of existing terms)") {
+    val rnd = new scala.util.Random(21)
+    val v = vocabByDf.map(_._1).filter(_.length >= 4).toIndexedSeq
+    (0 until 10).foreach { _ =>
+      val t = v(rnd.nextInt(v.size))
+      val p = t.take(2 + rnd.nextInt(3))
+      check(p, Seq("content"), beginsWith = true, SearchMode.Or)
+    }
+  }
+
+  test("5 field-scoped queries") {
+    check("scala", Seq("lang"), beginsWith = false, SearchMode.Or)
+    check("py go", Seq("lang"), beginsWith = false, SearchMode.Or)
+    val somePath = Analyzer.tokenize(corpusLocal(5).path).head
+    check(somePath, Seq("path"), beginsWith = false, SearchMode.Or)
+    val someRepo = corpusLocal(9).repo.toLowerCase
+    check(someRepo, Seq("repo"), beginsWith = false, SearchMode.Wand)
+    check("import", Seq("path", "content"), beginsWith = false, SearchMode.Or)
+  }
+
+  test("5 miss queries return empty") {
+    Seq("qqqqxxxx", "zzznotterm", "graftmissing", "nohit404", "absenttok")
+      .foreach { t =>
+        assert(engine.search(t, Seq("content")).isEmpty, s"expected miss for $t")
+        assert(OracleScorer.search(corpusLocal, t, Seq("content")).isEmpty)
+      }
+  }
+}
