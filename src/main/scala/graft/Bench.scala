@@ -95,6 +95,17 @@ object Bench {
         lat(name) = (System.nanoTime() - q0) / 1e6
         tops(name) = hits.map(_.getLong(0)).toSeq
       }
+      // distributed-WAND latency (fast path disabled): same store, same query
+      locally {
+        val distEngine = new SearchEngine(new IndexStore(spark, indexBase,
+          IndexConfig(shardSpan = 1 << 14, driverWandMaxBytes = 0)))
+        val q = "import class return"
+        distEngine.search(q, Seq("content"), k = 10, mode = SearchMode.Wand).collect()
+        val q0 = System.nanoTime()
+        val hits = distEngine.search(q, Seq("content"), k = 10, mode = SearchMode.Wand).collect()
+        lat("wand3_distributed") = (System.nanoTime() - q0) / 1e6
+        tops("wand3_distributed") = hits.map(_.getLong(0)).toSeq
+      }
       LevelResult(cores, buildSec, nDocs / buildSec, lat.toMap, tops.toMap)
     } finally spark.stop()
   }
@@ -130,7 +141,7 @@ object Bench {
     val high = runLevel(nHigh, s"$work/corpus", nDocs, s"$work/idx-$nHigh", s"$work/warmup")
     val peak = runLevel(nPeak, s"$work/corpus", nDocs, s"$work/idx-$nPeak", s"$work/warmup")
     val efficiency = (high.docsPerSec / low.docsPerSec) / (nHigh.toDouble / nLow)
-    val rankIdentical = queryMix.forall { case (name, _, _, _) =>
+    val rankIdentical = (queryMix.map(_._1) :+ "wand3_distributed").forall { name =>
       low.topDocs(name) == high.topDocs(name) && high.topDocs(name) == peak.topDocs(name)
     }
 
@@ -187,13 +198,28 @@ object Bench {
          |the faithful single-box proxy for executor scaling. The peak row
          |shows absolute single-box throughput at all $nPeak threads.
          |
+         |## vs reference baseline (BASELINE.md)
+         |
+         |goSearch ingests one doc per HTTP request at 0.782 ms avg ⇒ ~1,279
+         |files/sec on its single cloud node. This engine indexes
+         |${f(low.docsPerSec)} files/sec on TWO cores and
+         |${f(peak.docsPerSec)} files/sec on the whole box — ${
+           f(peak.docsPerSec / 1279.0)}x the reference's single-node ingest
+         |throughput at the same data scale, while also persisting a
+         |compressed, statistics-bearing index. Search: the reference answers
+         |in ~0.8 ms from an all-in-RAM radix tree; a Spark query pays a
+         |per-job scheduling floor (~100 ms), so single-query latency is not
+         |comparable — the table below shows warm top-10 latencies, with the
+         |driver-local WAND fast path on small candidate sets and the fully
+         |distributed path (fast path off) reported separately.
+         |
          |## BM25 top-10 query latency (warm, ms)
          |
          || query | local[$nLow] | local[$nHigh] | local[$nPeak] |
          ||---|---|---|---|
-         |${queryMix.map { case (name, q, bw, mode) =>
+         |${(queryMix.map { case (name, q, bw, mode) =>
             s"| $name (`$q`${if (bw) ", prefix" else ""}, $mode) | ${f(low.queryMs(name))} | ${f(high.queryMs(name))} | ${f(peak.queryMs(name))} |"
-          }.mkString("\n")}
+          } :+ s"| wand3_distributed (fast path off) | ${f(low.queryMs("wand3_distributed"))} | ${f(high.queryMs("wand3_distributed"))} | ${f(peak.queryMs("wand3_distributed"))} |").mkString("\n|")}
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
 

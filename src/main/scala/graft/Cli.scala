@@ -25,6 +25,7 @@ object Cli {
       .appName(s"graft-${args(0)}")
       .master(sys.props.getOrElse("spark.master",
         sys.env.getOrElse("MASTER", "local[*]")))
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -66,6 +67,15 @@ object Cli {
         println("[graft] compacted")
       case "fields" =>
         new IndexStore(spark, args(1), IndexConfig()).listFields().show(100)
+      case "sql" =>
+        // registers the store's tables as views and runs arbitrary SQL —
+        // graft's functions (posting_explode, via GraftExtensions) included
+        val store = new IndexStore(spark, args(1), IndexConfig())
+        store.postings().createOrReplaceTempView("postings")
+        store.termDf().createOrReplaceTempView("df")
+        store.corpus().createOrReplaceTempView("corpus")
+        store.docStats().createOrReplaceTempView("docstats")
+        spark.sql(args.drop(2).mkString(" ")).show(100, truncate = 60)
       case other => sys.error(s"unknown command $other")
     } finally spark.stop()
   }

@@ -69,3 +69,18 @@ object GraftFunctions {
       "posting_explode", exprs => PostingExplode(exprs.head), "built-in")
   }
 }
+
+/** SparkSessionExtensions entry point: enable with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) to get the engine's SQL
+  * functions in every session — the standard extension-injection surface. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("posting_explode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PostingExplode].getName, "posting_explode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PostingExplode(exprs.head)))
+  }
+}

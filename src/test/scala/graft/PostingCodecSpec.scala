@@ -69,6 +69,36 @@ class PostingCodecSpec extends AnyFunSuite {
     assert(cur.blockFor(3L * 1000 + 5).isEmpty) // beyond last
   }
 
+  test("Aggregator (hash-agg) path produces blobs identical to the sort-based encoder") {
+    // PostingBlobAggregator is the groupBy/udaf alternative to the
+    // sort-based ShardEncoder (kept for incremental small-batch merges; the
+    // bulk build uses the sorted walk — see IndexBuilder.encodeShards docs).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val postings = graft.corpus.CorpusGen.generate(spark, 60, seed = 41)
+      .flatMap { d =>
+        graft.analysis.Analyzer.termFrequencies(d.content).map { case (t, tf) =>
+          graft.core.Posting("content", t, d.doc_id,
+            tf, graft.analysis.Analyzer.tokenize(d.content).length)
+        }
+      }
+    val viaSort = graft.index.IndexBuilder.encodeShards(postings, 16)
+      .select($"term", $"shard", hex($"blob").as("b"), hex($"blocks").as("bl"),
+        $"count", $"sum_tf", $"max_tf")
+      .collect().map(_.toString).sorted.toSeq
+    val blobAgg = udaf(graft.index.PostingBlobAggregator,
+      org.apache.spark.sql.Encoders.product[graft.index.PostingIn])
+    val viaAgg = postings.toDF()
+      .withColumn("shard", floor($"doc_id" / 16).cast("long"))
+      .groupBy($"field", $"term", $"shard")
+      .agg(blobAgg($"doc_id", $"tf", $"dl").as("enc"))
+      .select($"term", $"shard", hex($"enc.blob").as("b"), hex($"enc.blocks").as("bl"),
+        $"enc.count".as("count"), $"enc.sum_tf".as("sum_tf"), $"enc.max_tf".as("max_tf"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSort == viaAgg)
+  }
+
   test("varint round-trips boundary values") {
     val vals = Seq(0L, 1L, 127L, 128L, 300L, 16383L, 16384L, Long.MaxValue)
     val buf = scala.collection.mutable.ArrayBuffer[Byte]()
