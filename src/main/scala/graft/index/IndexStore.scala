@@ -204,29 +204,34 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
   private def segPaths(sub: String): Seq[String] =
     segments.map(s => p(s"seg-${s.id}", sub).toString)
 
-  /** All segments' posting shards with a `seg` provenance column. */
+  /** All segments' posting shards with a `seg` provenance column.
+    * Empty stores return an empty frame WITH the proper schema so query
+    * plans still resolve. */
   def postings(): DataFrame =
     segments.map { s =>
       spark.read.parquet(p(s"seg-${s.id}", "postings").toString)
         .withColumn("seg", lit(s.id))
     }.reduceOption(_ unionByName _)
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(spark.emptyDataset[PostingShard].toDF().withColumn("seg", lit(0)))
 
   /** Stored corpus rows across segments (with `seg`). */
   def corpus(): DataFrame =
     segments.map { s =>
       spark.read.parquet(p(s"seg-${s.id}", "corpus").toString)
         .withColumn("seg", lit(s.id))
-    }.reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
+    }.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[CorpusDoc].toDF().withColumn("seg", lit(0)))
 
   def docStats(): DataFrame =
     segPaths("docstats").map(spark.read.parquet(_))
-      .reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[DocStat].toDF())
 
   /** Live per-(field, term) df: segment sums minus delete corrections. */
   def termDf(): DataFrame = {
     val base = segPaths("df").map(spark.read.parquet(_))
-      .reduceOption(_ unionByName _).getOrElse(return spark.emptyDataFrame)
+      .reduceOption(_ unionByName _)
+      .getOrElse(return spark.emptyDataset[TermDf].toDF())
       .groupBy(col("field"), col("term")).agg(sum(col("df")).as("df"))
     val deltaPath = p("dfdelta")
     if (!fs.exists(deltaPath)) base
