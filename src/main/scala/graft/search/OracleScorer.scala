@@ -54,7 +54,7 @@ object OracleScorer {
       if (beginsWith)
         qTerms.flatMap { p =>
           fields.flatMap(f => vocab(f).filter(_.startsWith(p)).map((f, _)))
-            .sortBy(_._2).take(100)
+            .sortBy { case (f, t) => (t, f) }.take(100)
         }.distinct.sorted
       else fields.flatMap(f => qTerms.map(t => (f, t))).sorted
 

@@ -58,7 +58,7 @@ class SearchEngine(val store: IndexStore) {
     val hi = lo.init + (lo.last + 1).toChar
     cachedTermDf()
       .filter($"field".isInCollection(fields) && $"term" >= lo && $"term" < hi)
-      .select($"field", $"term").orderBy($"term").limit(cap)
+      .select($"field", $"term").orderBy($"term", $"field").limit(cap)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
   }
 

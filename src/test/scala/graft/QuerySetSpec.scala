@@ -95,6 +95,34 @@ class QuerySetSpec extends AnyFunSuite {
     check("import", Seq("path", "content"), beginsWith = false, SearchMode.Or)
   }
 
+  test("WAND == exhaustive top-k on random corpora (FIXTURES.md 6)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(555)
+    (0 until 4).foreach { round =>
+      val nDocs = 50 + rnd.nextInt(120)
+      val vocabSize = 10 + rnd.nextInt(40)
+      val vocab = (0 until vocabSize).map(i => s"w${round}x$i")
+      val docs = (0 until nDocs).map { i =>
+        val len = 3 + rnd.nextInt(40)
+        CorpusDoc(i.toLong, "r", s"p$i", "c" * 40, "en",
+          Seq.fill(len)(vocab(rnd.nextInt(vocabSize))).mkString(" "))
+      }
+      val store = new IndexStore(spark, TestSpark.tempDir(s"rnd$round"),
+        IndexConfig(shardSpan = 16, fields = Seq("content")))
+      store.createSegment(spark.createDataset(docs))
+      val eng = new SearchEngine(store)
+      (0 until 3).foreach { _ =>
+        val q = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocabSize)))
+          .distinct.mkString(" ")
+        val wand = eng.search(q, Seq("content"), k = 10, mode = SearchMode.Wand)
+          .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+        val exh = eng.search(q, Seq("content"), k = 10, mode = SearchMode.Or)
+          .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+        assert(wand == exh, s"WAND != exhaustive for [$q] on random corpus $round")
+      }
+    }
+  }
+
   test("5 miss queries return empty") {
     Seq("qqqqxxxx", "zzznotterm", "graftmissing", "nohit404", "absenttok")
       .foreach { t =>
