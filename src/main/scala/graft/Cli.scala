@@ -38,7 +38,21 @@ object Cli {
       case "build" =>
         val Array(_, input, indexDir) = args.take(3)
         val resume = args.contains("--resume")
-        val store = new IndexStore(spark, indexDir, IndexConfig())
+        // cacheBuild caches the tokenized rows (~2x the parquet input, in
+        // memory+disk). Auto-disable when the input clearly exceeds what the
+        // heap can absorb — the documented extreme-scale mode where the
+        // range sampler re-tokenizes instead (IndexConfig.cacheBuild docs).
+        val inputBytes = {
+          val fs = new org.apache.hadoop.fs.Path(input)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.getContentSummary(new org.apache.hadoop.fs.Path(input)).getLength
+        }
+        val cache =
+          if (args.contains("--no-cache")) false
+          else if (args.contains("--cache")) true
+          else inputBytes * 3 < Runtime.getRuntime.maxMemory
+        if (!cache) println(s"[graft] cacheBuild disabled (input ${inputBytes >> 20} MB vs heap ${Runtime.getRuntime.maxMemory >> 20} MB)")
+        val store = new IndexStore(spark, indexDir, IndexConfig(cacheBuild = cache))
         val t0 = System.nanoTime()
         val corpus = spark.read.parquet(input).as[CorpusDoc]
         val segId =

@@ -149,6 +149,12 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     // fills every core with whichever has runnable tasks. All three read the
     // INPUT corpus (row-identical to the stored copy, enforced by the
     // sha-invariant test), so none waits behind the copy stage.
+    //
+    // cacheBuild=true shares one tokenization across the sampler, the
+    // shuffle and the df stage (right whenever cluster cache ~ token-row
+    // volume). cacheBuild=false bounds memory instead: each consumer
+    // re-tokenizes its own pass — the extreme-scale mode (cache << data);
+    // graft.Cli auto-selects it from input size vs heap.
     val tfRows = IndexBuilder.postings(corpus, cfg.fields)
     if (cfg.cacheBuild)
       tfRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
