@@ -48,6 +48,18 @@ class StoreSpec extends AnyFunSuite {
       "untouched stages must not rerun")
   }
 
+  test("cacheBuild=false (extreme-scale mode) produces byte-identical output") {
+    def build(cache: Boolean): Seq[String] = {
+      val dir = TestSpark.tempDir(s"cache$cache")
+      val store = new IndexStore(spark, dir, cfg.copy(cacheBuild = cache))
+      store.createSegment(corpus(90))
+      spark.read.parquet(s"$dir/seg-0/postings")
+        .select($"field", $"term", $"shard", hex($"blob").as("b"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(build(true) == build(false))
+  }
+
   test("build is deterministic across input partitionings") {
     def build(parts: Int): Seq[String] = {
       val dir = TestSpark.tempDir(s"det$parts")
