@@ -203,6 +203,10 @@ class SearchEngine(val store: IndexStore) {
     if (matched.isEmpty) return spark.emptyDataset[Hit].toDF()
     val stats = termStats(matched)
     if (stats.isEmpty) return spark.emptyDataset[Hit].toDF()
+    // small-query fast path (same bound as WAND): accumulate on the driver
+    // from one pruned scan instead of decode+shuffle+agg jobs
+    if (stats.map(_.df).sum * 8 <= store.cfg.driverWandMaxBytes)
+      return driverExhaustive(qTerms, matched, stats, k, mode)
     val statsDF = broadcast(
       stats.map(s => (s.field, s.term, s.idf, s.avgdl)).toDF("field", "term", "idf", "avgdl"))
     val rows = tombstoneFiltered(decode(matchedShards(matched)))
@@ -220,5 +224,45 @@ class SearchEngine(val store: IndexStore) {
     }
     filtered.select($"doc_id", $"score")
       .orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+
+  /** Driver-side exhaustive scoring for small candidate sets: collects the
+    * pruned shard rows, decodes and accumulates per-doc scores in ascending
+    * (field, term) order — the exact summation order of the oracle scorer,
+    * so scores are bit-identical to it (the distributed path sums in
+    * shuffle order and matches within fp tolerance). */
+  private def driverExhaustive(qTerms: Seq[String], matched: Seq[(String, String)],
+                               stats: Seq[TermStat], k: Int,
+                               mode: SearchMode): DataFrame = {
+    val statsMap = stats.map(s => (s.field, s.term) -> s).toMap
+    val tomb = cachedTombstones()
+    val rows = matchedShards(matched)
+      .select($"field", $"term", $"seg", $"shard", $"blob")
+      .as[(String, String, Int, Long, Array[Byte])]
+      .collect()
+      .sortBy { case (f, t, seg, shard, _) => (f, t, shard, seg) }
+    val score = new scala.collection.mutable.HashMap[Long, Double]()
+    val termsHit = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.Set[String]]()
+    val k1 = bm25.k1; val b = bm25.b
+    rows.foreach { case (f, t, seg, _, blob) =>
+      statsMap.get((f, t)).foreach { st =>
+        PostingCodec.decodeAll(blob).foreach { case (d, tf, dl) =>
+          val deleted = tomb.get(d).exists(seg <= _)
+          if (!deleted) {
+            val part = st.idf * (tf * (k1 + 1.0)) /
+              (tf + k1 * (1.0 - b + b * dl.toDouble / st.avgdl))
+            score.update(d, score.getOrElse(d, 0.0) + part)
+            if (mode == SearchMode.And)
+              termsHit.getOrElseUpdate(d, scala.collection.mutable.Set.empty) += t
+          }
+        }
+      }
+    }
+    val hits = score.iterator
+      .filter { case (d, _) =>
+        mode != SearchMode.And || termsHit.get(d).exists(_.size == qTerms.size) }
+      .map { case (d, s) => (d, s) }.toSeq
+      .sortBy { case (d, s) => (-s, d) }.take(k)
+    hits.toDF("doc_id", "score")
   }
 }

@@ -83,17 +83,20 @@ class IndexSearchSpec extends AnyFunSuite {
     assertMatchesOracle("import class def val", Seq("content"), mode = SearchMode.And)
   }
 
-  test("distributed WAND (fast path disabled) rank-identical to oracle") {
+  test("distributed paths (fast path disabled) rank-identical to oracle") {
     val distStore = new graft.index.IndexStore(spark,
       TestSpark.tempDir("dist"), cfg.copy(driverWandMaxBytes = 0))
     distStore.createSegment(corpusDS)
     val distEngine = new SearchEngine(distStore)
-    Seq("import", "import class scala", "the license apache def").foreach { q =>
-      val oracle = OracleScorer.search(corpusLocal, q, Seq("content"), k = 10)
-      val got = distEngine.search(q, Seq("content"), k = 10, mode = SearchMode.Wand)
-        .collect().map(r => Hit(r.getLong(0), r.getDouble(1))).toSeq
-      assert(got.map(_.doc_id) == oracle.map(_.doc_id), s"dist-WAND rank for [$q]")
-      got.zip(oracle).foreach { case (g, o) => assert(math.abs(g.score - o.score) <= 1e-5) }
+    Seq(SearchMode.Wand, SearchMode.Or, SearchMode.And).foreach { mode =>
+      Seq("import", "import class scala", "the license apache def").foreach { q =>
+        val oracle = OracleScorer.search(corpusLocal, q, Seq("content"), k = 10,
+          andSemantics = mode == SearchMode.And)
+        val got = distEngine.search(q, Seq("content"), k = 10, mode = mode)
+          .collect().map(r => Hit(r.getLong(0), r.getDouble(1))).toSeq
+        assert(got.map(_.doc_id) == oracle.map(_.doc_id), s"dist rank for [$q] $mode")
+        got.zip(oracle).foreach { case (g, o) => assert(math.abs(g.score - o.score) <= 1e-5) }
+      }
     }
   }
 

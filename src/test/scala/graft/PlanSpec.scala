@@ -15,8 +15,9 @@ class PlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private lazy val engine: SearchEngine = {
+    // fast path off: the audits target the DISTRIBUTED plans
     val store = new IndexStore(spark, TestSpark.tempDir("plan"),
-      IndexConfig(shardSpan = 64, fields = Seq("content")))
+      IndexConfig(shardSpan = 64, fields = Seq("content"), driverWandMaxBytes = 0))
     store.createSegment(CorpusGen.generate(spark, 120, seed = 31))
     new SearchEngine(store)
   }
