@@ -55,10 +55,11 @@ object Cli {
         val store = new IndexStore(spark, indexDir, IndexConfig(cacheBuild = cache))
         val t0 = System.nanoTime()
         val corpus = spark.read.parquet(input).as[CorpusDoc]
-        val segId =
-          if (resume && store.segments.nonEmpty)
-            store.buildSegmentAt(store.segments.map(_.id).max, corpus, resume = true)
-          else store.createSegment(corpus, resume)
+        // createSegment targets max-committed-id + 1, which is exactly the
+        // segment a crashed build was producing (a crashed segment never
+        // reaches the manifest, so its id stays max+1 and its partial stage
+        // done-markers are reused when resume = true).
+        val segId = store.createSegment(corpus, resume)
         val sec = (System.nanoTime() - t0) / 1e9
         val n = store.segments.find(_.id == segId).map(_.numDocs).getOrElse(0L)
         println(f"[graft] built seg-$segId: $n docs in $sec%.1f s (${n / sec}%.0f files/sec)")

@@ -67,13 +67,15 @@ object ExtraQueries {
 
   def all: Seq[QueryDef] = Seq(
 
-    // fuzzy search (O10): first-char subtree + all-chars-contained filter
+    // fuzzy search (O10): first-char subtree + all-chars-contained filter,
+    // capped at 100 expansions in term order (mirrors expandFuzzy's cap)
     QueryDef("q_search_fuzzy",
       (s, dir) => roundHits(
         QueryRegistry.engineFor(s, dir).searchFuzzy("jion", Seq("content"), k = 10), 10),
       Some(QueryRegistry.bm25Sql(Seq.empty, 10, termSubquery = Some(
         "SELECT term FROM df WHERE term LIKE 'j%' AND contains(term, 'i') " +
-          "AND contains(term, 'o') AND contains(term, 'n')")))),
+          "AND contains(term, 'o') AND contains(term, 'n') " +
+          "ORDER BY term LIMIT 100")))),
 
     // catalog (O21): per-field doc and term counts over the 5-field store
     QueryDef("q_list_indexes",

@@ -114,5 +114,10 @@ final case class IndexConfig(
       * independent stages can overlap. Right at any scale where the cluster
       * has aggregate cache ≈ posting-row volume; at extreme scale (cache ≪
       * data) set false and pay one re-tokenization in the sampler. */
-    cacheBuild: Boolean = true
+    cacheBuild: Boolean = true,
+    /** Tombstone-row bound above which the driver-side tombstone map is
+      * never collected: query paths switch to a distributed anti-join
+      * against the tombstone table, so a bulk delete of 10^9 ids cannot OOM
+      * the driver. 4M entries ≈ tens of MB on the driver — safe headroom. */
+    maxDriverTombstones: Long = 4L << 20
 )

@@ -272,15 +272,35 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     }
   }
 
-  /** Tombstones as a driver-side map docId -> max deleted segment. Between
-    * compactions the tombstone set is assumed small (documented scale
-    * contract; compact() clears it). */
+  /** Tombstones as a driver-side map docId -> max deleted segment. Callers
+    * MUST guard with [[tombstoneCount]] vs `cfg.maxDriverTombstones` (the
+    * query layer does); past the bound use [[tombstoneAgg]] anti-joins. */
   def tombstoneMap(): Map[Long, Int] = {
     val tp = p("tombstones")
     if (!fs.exists(tp)) Map.empty
     else spark.read.parquet(tp.toString)
       .groupBy(col("doc_id")).agg(max(col("max_seg")).as("max_seg"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  /** Raw tombstone row count (parquet-footer metadata scan — no data read).
+    * An upper bound on distinct deleted ids; used to size-guard the driver
+    * map. */
+  def tombstoneCount(): Long = {
+    val tp = p("tombstones")
+    if (!fs.exists(tp)) 0L else spark.read.parquet(tp.toString).count()
+  }
+
+  /** Aggregated tombstones as a DataFrame (t_doc_id, t_max_seg) — the
+    * distributed anti-join form used when the set exceeds the driver bound.
+    * Never collected or broadcast. */
+  def tombstoneAgg(): DataFrame = {
+    val tp = p("tombstones")
+    if (!fs.exists(tp))
+      spark.emptyDataset[Tombstone].toDF("t_doc_id", "t_max_seg")
+    else spark.read.parquet(tp.toString)
+      .groupBy(col("doc_id")).agg(max(col("max_seg")).as("max_seg"))
+      .toDF("t_doc_id", "t_max_seg")
   }
 
   def tombstonesDF(): DataFrame = {
@@ -330,19 +350,30 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     // no-op (otherwise its df/stats corrections would be applied twice)
     val victims = liveCorpus().filter(col("doc_id").isInCollection(idSet))
       .as[CorpusDoc]
-    // df corrections: one row per distinct (field, term) of each victim doc
-    val deltas = IndexBuilder.postings(victims, cfg.fields)
-      .groupBy(col("field"), col("term")).agg(count(lit(1)).as("ddf"))
-    deltas.write.mode(SaveMode.Append).parquet(p("dfdelta").toString)
-    // stats corrections
-    val stats = IndexBuilder.postings(victims, cfg.fields)
-      .groupBy(col("field"), col("doc_id")).agg(first(col("dl")).as("dl"))
-      .groupBy(col("field")).agg(count(lit(1)).as("dn"), sum(col("dl")).as("dsum_dl"))
-    stats.write.mode(SaveMode.Append).parquet(p("tombstats").toString)
-    // tombstones
-    victims.select(col("doc_id")).distinct()
-      .withColumn("max_seg", lit(maxSeg))
-      .write.mode(SaveMode.Append).parquet(p("tombstones").toString)
+    victims.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nVictims = victims.count()
+      // df corrections: one row per distinct (field, term) of each victim doc
+      val deltas = IndexBuilder.postings(victims, cfg.fields)
+        .groupBy(col("field"), col("term")).agg(count(lit(1)).as("ddf"))
+      deltas.write.mode(SaveMode.Append).parquet(p("dfdelta").toString)
+      // stats corrections. n was set to numDocs for EVERY field at build, so
+      // dn must be the victim-doc count for every field too — even a field
+      // that tokenizes to zero tokens for a victim (no posting rows) had that
+      // doc counted in its n. dsum_dl still comes from the tokenized lengths.
+      val dsum = IndexBuilder.postings(victims, cfg.fields)
+        .groupBy(col("field"), col("doc_id")).agg(first(col("dl")).as("dl"))
+        .groupBy(col("field")).agg(sum(col("dl")).as("dsum_dl"))
+      val stats = cfg.fields.toDF("field")
+        .join(dsum, Seq("field"), "left")
+        .select(col("field"), lit(nVictims).as("dn"),
+          coalesce(col("dsum_dl"), lit(0L)).as("dsum_dl"))
+      stats.write.mode(SaveMode.Append).parquet(p("tombstats").toString)
+      // tombstones
+      victims.select(col("doc_id")).distinct()
+        .withColumn("max_seg", lit(maxSeg))
+        .write.mode(SaveMode.Append).parquet(p("tombstones").toString)
+    } finally { victims.unpersist(); () }
   }
 
   /** Update = delete + re-add under a newer segment (reference
@@ -354,25 +385,49 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
   }
 
   /** Rewrites the whole store as a single segment over live documents,
-    * clearing tombstones and deltas (the blob-edit answer at scale). */
+    * clearing tombstones and deltas (the blob-edit answer at scale).
+    *
+    * Crash-safe ordering: build into `.compact`, swap the old store aside
+    * (`.old`) before moving the new one into place, delete `.old` last. A
+    * crash at any point leaves either the original store intact or both
+    * directories recoverable — never a destroyed store. A leftover
+    * `.compact` from a previously failed run is cleared first so it can't
+    * contribute a stale segment. */
   def compact(): Unit = {
+    val compactPath = new Path(baseDir + ".compact")
+    val oldPath = new Path(baseDir + ".old")
+    if (fs.exists(compactPath)) fs.delete(compactPath, true)
+    if (fs.exists(oldPath)) fs.delete(oldPath, true)
     val live = liveCorpus().as[CorpusDoc]
     val tmp = new IndexStore(spark, baseDir + ".compact", cfg)
     tmp.createSegment(live)
     val dst = new Path(baseDir)
-    fs.delete(dst, true)
-    fs.rename(new Path(baseDir + ".compact"), dst)
+    if (!fs.rename(dst, oldPath))
+      sys.error(s"compact: failed to move $dst aside to $oldPath")
+    if (!fs.rename(compactPath, dst)) {
+      // restore the original store rather than leaving nothing at baseDir
+      fs.rename(oldPath, dst)
+      sys.error(s"compact: failed to move $compactPath into place (restored original)")
+    }
+    fs.delete(oldPath, true)
+    ()
   }
 
   /** Corpus rows still visible (tombstone-filtered, segment-generation
-    * aware). */
+    * aware). Uses the broadcast map under the driver bound and a distributed
+    * anti-join past it. */
   def liveCorpus(): DataFrame = {
     val c = corpus()
     if (c.isEmpty) return c
-    val ts = tombstoneMap()
-    if (ts.isEmpty) c.drop("seg")
-    else {
+    val nTs = tombstoneCount()
+    if (nTs == 0L) return c.drop("seg")
+    if (nTs <= cfg.maxDriverTombstones) {
+      val ts = tombstoneMap()
       val tsDF = broadcast(ts.toSeq.toDF("t_doc_id", "t_max_seg"))
+      c.join(tsDF, c("doc_id") === tsDF("t_doc_id") && c("seg") <= tsDF("t_max_seg"), "left_anti")
+        .drop("seg")
+    } else {
+      val tsDF = tombstoneAgg()
       c.join(tsDF, c("doc_id") === tsDF("t_doc_id") && c("seg") <= tsDF("t_max_seg"), "left_anti")
         .drop("seg")
     }

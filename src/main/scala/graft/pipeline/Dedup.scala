@@ -22,13 +22,22 @@ object Dedup {
         sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       .filter(col("n_dups") > 1)
 
+  /** Default shingle document-frequency cap: a shingle shared by more docs
+    * than this is boilerplate, not dedup signal, and its bucket join would
+    * grow quadratically in its df. 1000 bounds any single shingle's pair
+    * candidates to ~10^6 while sitting far above real shingle dfs on
+    * organic text (the test corpora max out at 31 of 5500 docs). Pass 0 to
+    * disable explicitly. */
+  val DefaultMaxShingleDf: Long = 1000
+
   /** Distinct k-token shingles per document (docs shorter than k yield none).
     * Shingles are the join key of every near-dup candidate generation below;
     * `maxShingleDf` drops ubiquitous shingles (boilerplate headers) that
     * would otherwise quadratically blow up the candidate join at corpus
-    * scale — the standard frequency-cap used by large dedup pipelines. */
+    * scale — the standard frequency-cap used by large dedup pipelines.
+    * ON by default ([[DefaultMaxShingleDf]]); 0 disables. */
   def shingles(docs: DataFrame, textCol: String = "text", k: Int = 3,
-               maxShingleDf: Long = 0): DataFrame = {
+               maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
     val sh = docs
       .select(col("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
@@ -50,7 +59,7 @@ object Dedup {
     * join per-doc shingle counts → Jaccard arithmetic. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", k: Int = 3,
                         minJaccard: Double = 0.5,
-                        maxShingleDf: Long = 0): DataFrame = {
+                        maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
     val sh = shingles(docs, textCol, k, maxShingleDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
@@ -111,7 +120,7 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, textCol: String = "text", k: Int = 3,
                       numHashes: Int = 64, bands: Int = 16,
                       minJaccard: Double = 0.5, seed: Long = 42L,
-                      maxShingleDf: Long = 0): DataFrame = {
+                      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = shingles(docs, textCol, k, maxShingleDf)
     val sigs = minHashSignatures(sh, numHashes, seed)
@@ -121,8 +130,14 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify candidates with exact Jaccard (shingle sets joined per side)
-    val sets = sh.groupBy(col("doc_id"))
+    // verify candidates with exact Jaccard — shingle sets are built ONLY for
+    // docs that appear in some candidate pair (left-semi to candidate ids):
+    // at corpus scale the candidates are a vanishing fraction of all docs,
+    // so collecting shingle sets for every doc would dominate the job.
+    val candIds = candidates.select(col("id_a").as("doc_id"))
+      .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct()
+    val sets = sh.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("set"))
     candidates
       .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a")), Seq("id_a"))

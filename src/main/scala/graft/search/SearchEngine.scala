@@ -65,8 +65,12 @@ class SearchEngine(val store: IndexStore) {
   /** Fuzzy term expansion (reference FuzzySearch, indexing.go:689-709):
     * walk the dictionary subtree of the query's first character and keep
     * terms containing every character of the query. As a term-dictionary
-    * range scan + character-containment filter, it needs no extra index. */
-  def expandFuzzy(key: String, fields: Seq[String]): Seq[(String, String)] = {
+    * range scan + character-containment filter, it needs no extra index.
+    * Capped at `cap` terms in deterministic (term, field) order — the same
+    * bound the prefix walk applies — so a one-letter fuzzy query against a
+    * corpus-scale dictionary never collects an unbounded term list to the
+    * driver. */
+  def expandFuzzy(key: String, fields: Seq[String], cap: Int = 100): Seq[(String, String)] = {
     val k = key.toLowerCase
     if (k.isEmpty) return Seq.empty
     val lo = k.substring(0, 1)
@@ -77,6 +81,7 @@ class SearchEngine(val store: IndexStore) {
       .filter($"field".isInCollection(fields) && $"term" >= lo && $"term" < hi)
       .filter(containsAll)
       .select($"field", $"term")
+      .orderBy($"term", $"field").limit(cap)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
   }
 
@@ -99,12 +104,22 @@ class SearchEngine(val store: IndexStore) {
              mode: SearchMode = SearchMode.Or): DataFrame = {
     val qTerms = Analyzer.tokenize(query).distinct.sorted.toSeq
     if (qTerms.isEmpty) return spark.emptyDataset[Hit].toDF()
+    // .distinct: overlapping prefix expansions (e.g. "cl cla" both matching
+    // "class") must contribute one (field, term) pair, not two — a duplicate
+    // would double-count that term's BM25 contribution in the distributed
+    // join path.
     val matched: Seq[(String, String)] =
-      if (beginsWith) qTerms.flatMap(t => expandPrefix(t, fields))
+      if (beginsWith) qTerms.flatMap(t => expandPrefix(t, fields)).distinct
       else fields.flatMap(f => qTerms.map(t => (f, t)))
     mode match {
-      case SearchMode.Wand =>
+      // WAND needs a per-executor tombstone lookup; past the driver-map
+      // bound its pruning advantage is gone anyway (upper bounds ignore
+      // deletions), so fall back to the exhaustive OR plan — identical
+      // top-k semantics, anti-join tombstone filtering.
+      case SearchMode.Wand if tombstonesSmall =>
         new WandExecutor(this).search(qTerms, matched, fields, k)
+      case SearchMode.Wand =>
+        exhaustive(qTerms, matched, fields, k, SearchMode.Or)
       case _ =>
         exhaustive(qTerms, matched, fields, k, mode)
     }
@@ -129,6 +144,7 @@ class SearchEngine(val store: IndexStore) {
   private var cacheToken: String = null
   private var fieldStatsC: Map[String, (Long, Long)] = Map.empty
   private var tombstoneC: Map[Long, Int] = Map.empty
+  private var tombSmallC: Boolean = true
   private var postingsC: DataFrame = _
   private var termDfC: DataFrame = _
 
@@ -136,7 +152,11 @@ class SearchEngine(val store: IndexStore) {
     val t = store.versionToken()
     if (t != cacheToken) {
       fieldStatsC = store.fieldStats()
-      tombstoneC = store.tombstoneMap()
+      // size-guard the driver tombstone map: past the configured bound the
+      // map is never collected — anti-joins run against the tombstone table
+      // instead (a bulk delete of 10^9 ids must not OOM the driver)
+      tombSmallC = store.tombstoneCount() <= store.cfg.maxDriverTombstones
+      tombstoneC = if (tombSmallC) store.tombstoneMap() else Map.empty
       postingsC = store.postings()
       termDfC = store.termDf()
       cacheToken = t
@@ -146,6 +166,10 @@ class SearchEngine(val store: IndexStore) {
   private[search] def cachedPostings(): DataFrame = { refreshIfStale(); postingsC }
   private[search] def cachedTermDf(): DataFrame = { refreshIfStale(); termDfC }
   private[search] def cachedTombstones(): Map[Long, Int] = { refreshIfStale(); tombstoneC }
+  /** Whether the tombstone set fits the driver-map bound; when false, every
+    * query path uses distributed anti-joins and WAND falls back to the
+    * exhaustive plan. */
+  def tombstonesSmall: Boolean = { refreshIfStale(); tombSmallC }
 
   // ---------- scoring internals ----------
 
@@ -172,10 +196,19 @@ class SearchEngine(val store: IndexStore) {
 
   private[search] def tombstoneFiltered(decoded: DataFrame): DataFrame = {
     refreshIfStale()
-    val ts = tombstoneC
-    if (ts.isEmpty) decoded
-    else {
-      val tsDF = broadcast(ts.toSeq.toDF("t_doc_id", "t_max_seg"))
+    if (tombSmallC) {
+      val ts = tombstoneC
+      if (ts.isEmpty) decoded
+      else {
+        val tsDF = broadcast(ts.toSeq.toDF("t_doc_id", "t_max_seg"))
+        decoded.join(tsDF,
+          decoded("doc_id") === tsDF("t_doc_id") && decoded("seg") <= tsDF("t_max_seg"),
+          "left_anti")
+      }
+    } else {
+      // past the driver bound: distributed anti-join against the aggregated
+      // tombstone table (shuffled, spill-safe — never materialized anywhere)
+      val tsDF = store.tombstoneAgg()
       decoded.join(tsDF,
         decoded("doc_id") === tsDF("t_doc_id") && decoded("seg") <= tsDF("t_max_seg"),
         "left_anti")
@@ -204,8 +237,9 @@ class SearchEngine(val store: IndexStore) {
     val stats = termStats(matched)
     if (stats.isEmpty) return spark.emptyDataset[Hit].toDF()
     // small-query fast path (same bound as WAND): accumulate on the driver
-    // from one pruned scan instead of decode+shuffle+agg jobs
-    if (stats.map(_.df).sum * 8 <= store.cfg.driverWandMaxBytes)
+    // from one pruned scan instead of decode+shuffle+agg jobs. Requires the
+    // driver-side tombstone map, so it is skipped past the tombstone bound.
+    if (stats.map(_.df).sum * 8 <= store.cfg.driverWandMaxBytes && tombstonesSmall)
       return driverExhaustive(qTerms, matched, stats, k, mode)
     val statsDF = broadcast(
       stats.map(s => (s.field, s.term, s.idf, s.avgdl)).toDF("field", "term", "idf", "avgdl"))
@@ -215,12 +249,16 @@ class SearchEngine(val store: IndexStore) {
       .withColumn("part",
         $"idf" * ($"tf" * (k1 + lit(1.0))) /
           ($"tf" + k1 * (lit(1.0) - b + b * $"dl" / $"avgdl")))
-    val agged = contrib.groupBy($"doc_id")
-      .agg(sum($"part").as("score"),
-        collect_set($"term").as("mterms"))
+    // OR mode needs only the score sum; the distinct-term count (for the
+    // AND intersection filter) is aggregated only when AND asks for it —
+    // never pay a per-doc set buffer in the hottest aggregation for nothing.
     val filtered = mode match {
-      case SearchMode.And => agged.filter(size($"mterms") === lit(qTerms.size))
-      case _ => agged
+      case SearchMode.And =>
+        contrib.groupBy($"doc_id")
+          .agg(sum($"part").as("score"), countDistinct($"term").as("mterms"))
+          .filter($"mterms" === lit(qTerms.size.toLong))
+      case _ =>
+        contrib.groupBy($"doc_id").agg(sum($"part").as("score"))
     }
     filtered.select($"doc_id", $"score")
       .orderBy(desc("score"), asc("doc_id")).limit(k)

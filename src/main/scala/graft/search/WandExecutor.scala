@@ -74,22 +74,39 @@ class WandExecutor(engine: SearchEngine) {
     } else {
       val statsB = spark.sparkContext.broadcast(statsMap)
       val tombB = spark.sparkContext.broadcast(engine.cachedTombstones())
-      val partials = shardRows.repartition(col("shard")).mapPartitions { rows =>
-        val st = statsB.value
-        val heap = new BoundedHitHeap(kk)
-        rows.toSeq.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, group) =>
-          val cursors = group
-            .flatMap { case (f, t, seg, _, blocks, blob) =>
+      // Hash-exchange on shard colocates each docId range's term lists, then
+      // a partition-local sort on shard lets the task STREAM one shard group
+      // at a time (the same group-walk pattern as ShardEncoder): task memory
+      // is one shard's matched rows (≤ |matched| × |segments|), never the
+      // whole shuffle partition — a hot term's partition at 100× scale would
+      // otherwise hold hundreds of MB of blobs as JVM objects.
+      val partials = shardRows
+        .repartition(col("shard"))
+        .sortWithinPartitions("shard")
+        .mapPartitions { rows =>
+          val st = statsB.value
+          val tomb = tombB.value
+          val heap = new BoundedHitHeap(kk)
+          val group = new scala.collection.mutable.ArrayBuffer[
+            (String, String, Int, Long, Array[Byte], Array[Byte])]()
+          var curShard = Long.MinValue
+          def flush(): Unit = if (group.nonEmpty) {
+            val cursors = group.iterator.flatMap { case (f, t, seg, _, blocks, blob) =>
               st.get((f, t)).map { case (idf, avgdl) =>
                 new TermCursor(f, t, seg, idf, avgdl, k1, b,
                   new PostingCodec.Cursor(blob, PostingCodec.decodeBlocks(blocks)))
               }
-            }
-            .sortBy(c => (c.field, c.term)).toArray
-          if (cursors.nonEmpty) WandExecutor.runWand(cursors, tombB.value, heap)
-        }
-        heap.result().iterator
-      }.toDF("doc_id", "score")
+            }.toArray.sortBy(c => (c.field, c.term))
+            if (cursors.nonEmpty) WandExecutor.runWand(cursors, tomb, heap)
+            group.clear()
+          }
+          rows.foreach { r =>
+            if (r._4 != curShard) { flush(); curShard = r._4 }
+            group += r
+          }
+          flush()
+          heap.result().iterator
+        }.toDF("doc_id", "score")
       partials.orderBy(desc("score"), asc("doc_id")).limit(k)
     }
   }

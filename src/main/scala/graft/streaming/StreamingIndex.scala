@@ -25,18 +25,49 @@ object StreamingIndex {
     StructField("lang", StringType), StructField("content", StringType)))
 
   /** Micro-batch incremental indexing: each micro-batch (here: one input
-    * file, via maxFilesPerTrigger=1) becomes one committed segment. */
+    * file, via maxFilesPerTrigger=1) becomes one committed segment.
+    *
+    * Replay-idempotent: the segment id is a pure function of the stream's
+    * `batchId` (base = segments committed before the stream started). A
+    * restart that replays a batch whose segment already reached the manifest
+    * is a no-op, and a crash mid-build resumes that segment's stage
+    * checkpoints — df/fieldstats are never double-counted. Assumes no
+    * concurrent non-stream `add()` on the same store while the stream runs
+    * (same single-writer contract as the reference's per-index mutation
+    * path, clustering.go:521-542). */
   def indexStream(spark: SparkSession, inputDir: String,
                   store: IndexStore): StreamingQuery = {
     import spark.implicits._
+    // The base segment id is pinned ONCE per checkpoint (first start) and
+    // read back on restart — deriving it from the manifest at each start
+    // would shift after a crash that committed a segment but not the stream
+    // checkpoint, remapping replayed batchIds onto fresh segment ids.
+    val checkpointDir = inputDir + ".checkpoint"
+    val fs = new org.apache.hadoop.fs.Path(checkpointDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseMarker = new org.apache.hadoop.fs.Path(checkpointDir, "graft-base-seg")
+    val baseSeg: Int =
+      if (fs.exists(baseMarker)) {
+        val in = fs.open(baseMarker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      } else {
+        val b = store.segments.map(_.id).reduceOption(_ max _).getOrElse(-1)
+        val out = fs.create(baseMarker, true)
+        try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+        b
+      }
     spark.readStream
       .schema(corpusSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)
       .as[CorpusDoc]
       .writeStream
-      .foreachBatch { (batch: Dataset[CorpusDoc], _: Long) =>
-        if (!batch.isEmpty) { store.add(batch); () }
+      .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
+        val segId = baseSeg + 1 + batchId.toInt
+        if (!batch.isEmpty && !store.segments.exists(_.id == segId)) {
+          store.buildSegmentAt(segId, batch, resume = true); ()
+        }
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", inputDir + ".checkpoint")

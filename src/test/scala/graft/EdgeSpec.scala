@@ -67,6 +67,79 @@ class EdgeSpec extends AnyFunSuite {
     assert(c == b)
   }
 
+  test("bulk delete past the driver-tombstone bound: identical results via anti-join") {
+    val docs = CorpusGen.generate(spark, 80, seed = 21).collect().toSeq
+    val victims = docs.map(_.doc_id).filter(_ % 5 == 0)
+    assert(victims.size > 3)
+    val cfgSmall = IndexConfig(shardSpan = 32, fields = Seq("content"))
+    val cfgGuarded = cfgSmall.copy(maxDriverTombstones = 3) // forces the DF path
+    def build(cfg: IndexConfig, tag: String): SearchEngine = {
+      val st = new IndexStore(spark, TestSpark.tempDir(tag), cfg)
+      st.createSegment(spark.createDataset(docs))
+      st.delete(victims)
+      new SearchEngine(st)
+    }
+    val ref = build(cfgSmall, "tomb-ref")
+    val guarded = build(cfgGuarded, "tomb-big")
+    assert(!guarded.tombstonesSmall && ref.tombstonesSmall)
+    Seq(("import the", SearchMode.Or), ("class def val", SearchMode.Wand),
+        ("import val", SearchMode.And)).foreach { case (q, mode) =>
+      val a = ref.search(q, Seq("content"), k = 15, mode = mode)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      val b = guarded.search(q, Seq("content"), k = 15, mode = mode)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(a == b, s"guarded tombstone path diverges for [$q] $mode")
+      assert(a.forall { case (d, _) => !victims.contains(d) })
+    }
+    assert(ref.store.liveCorpus().count() == guarded.store.liveCorpus().count())
+  }
+
+  test("deleting a doc with a zero-token field still decrements that field's n") {
+    val docs = Seq(
+      CorpusDoc(1L, "r1", "p/a", "a" * 40, "en", ""), // content: ZERO tokens
+      CorpusDoc(2L, "r2", "p/b", "b" * 40, "en", "some words here"),
+      CorpusDoc(3L, "r3", "p/c", "c" * 40, "en", "other words too"))
+    val store = new IndexStore(spark, TestSpark.tempDir("zerotok"), IndexConfig(shardSpan = 64))
+    store.createSegment(spark.createDataset(docs))
+    assert(store.fieldStats()("content") == ((3L, 6L)))
+    store.delete(Seq(1L))
+    // n decrements by the victim count even though the victim contributed no
+    // content tokens; sum_dl is unchanged for content (dl was 0)
+    assert(store.fieldStats()("content") == ((2L, 6L)),
+      s"content stats drifted: ${store.fieldStats()("content")}")
+    assert(store.fieldStats()("repo")._1 == 2L)
+  }
+
+  test("fuzzy expansion is capped at 100 terms in (term, field) order") {
+    val docs = (0 until 150).map { i =>
+      CorpusDoc(i.toLong, "r", s"p/$i", "d" * 40, "en", f"qa$i%03d filler")
+    }
+    val store = new IndexStore(spark, TestSpark.tempDir("fuzzcap"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(spark.createDataset(docs))
+    val engine = new SearchEngine(store)
+    val expanded = engine.expandFuzzy("qa", Seq("content"))
+    assert(expanded.size == 100)
+    assert(expanded == expanded.sortBy(p => (p._2, p._1)), "must be (term, field)-ordered")
+    assert(expanded.head._2 == "qa000")
+  }
+
+  test("resume after one committed segment targets the NEXT id, not the committed one") {
+    val store = new IndexStore(spark, TestSpark.tempDir("resume-next"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(CorpusGen.generate(spark, 20, seed = 5))
+    assert(store.segments.map(_.id) == Seq(0))
+    // a crashed seg-1 build never reached the manifest; resume must build
+    // seg-1 from the NEW corpus (the old bug re-ran seg-0, whose done-markers
+    // all exist, and silently skipped the new input entirely)
+    val extra = Seq(CorpusDoc(9999L, "rx", "p/x", "e" * 40, "en", "graftresumetoken appears"))
+    val segId = store.createSegment(spark.createDataset(extra), resume = true)
+    assert(segId == 1)
+    val hits = new SearchEngine(store).search("graftresumetoken", Seq("content"), k = 5)
+      .collect().map(_.getLong(0))
+    assert(hits.sameElements(Array(9999L)), "resumed segment must index the new corpus")
+  }
+
   test("commit-field exact lookup (40-hex unique terms)") {
     val docs = CorpusGen.generate(spark, 50, seed = 12).collect().toSeq
     val store = new IndexStore(spark, TestSpark.tempDir("commit"), IndexConfig(shardSpan = 64))

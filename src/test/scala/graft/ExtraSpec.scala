@@ -93,6 +93,36 @@ class ExtraSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, "segmented streaming index must equal batch index")
   }
 
+  test("streaming replay after crash is idempotent (no duplicate segments)") {
+    val work = TestSpark.tempDir("replay")
+    val docs = CorpusGen.generate(spark, 60, seed = 19)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    (0 until 3).foreach { i =>
+      docs.filter($"doc_id" % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$work/chunks/c$i")
+      val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$work/chunks/c$i/*.parquet")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/stream"))
+      fs.rename(src, new org.apache.hadoop.fs.Path(s"$work/stream/c$i.parquet"))
+    }
+    val cfg = IndexConfig(shardSpan = 64, fields = Seq("content"))
+    val store = new IndexStore(spark, s"$work/sidx", cfg)
+    StreamingIndex.indexStream(spark, s"$work/stream", store).awaitTermination()
+    assert(store.segments.size == 3)
+    def results: Seq[(Long, Long)] =
+      new SearchEngine(store).search("import the", Seq("content"), k = 10)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val before = results
+    val nDocsBefore = store.segments.map(_.numDocs).sum
+    // simulate a crash AFTER the last segment's manifest commit but BEFORE
+    // the stream checkpoint commit: drop the commit marker so the restarted
+    // stream replays batch 2 — the replay must be a no-op
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/stream.checkpoint/commits/2"), false)
+    StreamingIndex.indexStream(spark, s"$work/stream", store).awaitTermination()
+    assert(store.segments.size == 3, "replayed batch must not append a duplicate segment")
+    assert(store.segments.map(_.numDocs).sum == nDocsBefore)
+    assert(results == before, "df/fieldstats must not be double-counted by replay")
+  }
+
   test("windowed streaming agg equals batch aggregation") {
     val work = TestSpark.tempDir("winstream")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)

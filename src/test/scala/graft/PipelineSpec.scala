@@ -41,6 +41,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("hot boilerplate shingle is frequency-capped out of candidate generation") {
+    // 40 docs sharing one boilerplate header + unique tails: without the cap
+    // the header shingles alone produce C(40,2)=780 candidate pairs
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"copyright acme corp all rights reserved unique$i tail$i body$i")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.shingles(docs, maxShingleDf = 0)
+    val capped = Dedup.shingles(docs, maxShingleDf = 5)
+    val hotShingles = uncapped.groupBy($"shingle").count().filter($"count" > 5).count()
+    assert(hotShingles > 0, "fixture must contain hot shingles")
+    assert(capped.groupBy($"shingle").count().filter($"count" > 5).count() == 0,
+      "no shingle above the cap may survive as a join key")
+    // candidate pairs through the capped join key are bounded (here: zero,
+    // since the only shared shingles were the boilerplate ones)
+    val a = capped.select($"doc_id".as("id_a"), $"shingle")
+    val b = capped.select($"doc_id".as("id_b"), $"shingle")
+    assert(a.join(b, Seq("shingle")).filter($"id_a" < $"id_b").count() == 0)
+    // defaults: the registered corpora stay below DefaultMaxShingleDf, so
+    // capped-by-default results equal explicitly-uncapped results there
+    val withDefault = Dedup.ngramJaccardPairs(nearDup, minJaccard = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val noCap = Dedup.ngramJaccardPairs(nearDup, minJaccard = 0.5, maxShingleDf = 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(withDefault == noCap)
+  }
+
   test("simhash pairs == brute-force hamming pairs (pigeonhole recall)") {
     Seq(3, 7).foreach { d =>
       val pairs = Dedup.simHashPairs(nearDup, maxDist = d)

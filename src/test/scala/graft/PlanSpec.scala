@@ -56,6 +56,22 @@ class PlanSpec extends AnyFunSuite {
       "no global sort expected")
   }
 
+  test("distributed WAND exchanges on shard and sorts within partitions (streaming group-walk)") {
+    val df = engine.search("import the", Seq("content"), k = 10, mode = SearchMode.Wand)
+    val plan = physicalPlan(df)
+    assert(plan.contains("hashpartitioning(shard"),
+      "WAND stage must exchange on shard:\n" + plan.take(3000))
+    assert(plan.matches("(?s).*Sort \\[shard#\\d+L? ASC NULLS FIRST\\], false.*"),
+      "WAND stage must sort WITHIN partitions on shard (streamed group-walk):\n" + plan.take(3000))
+  }
+
+  test("OR-mode exhaustive aggregation carries no per-doc set aggregate") {
+    val df = engine.search("import class", Seq("content"), k = 10, mode = SearchMode.Or)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("collect_set"),
+      "OR mode must not aggregate a term set per doc:\n" + plan.take(3000))
+  }
+
   test("whole-stage codegen covers the BM25 scoring expression (final AQE plan)") {
     val df = engine.search("import the", Seq("content"), k = 10)
     df.collect() // AQE finalizes the plan on execution
