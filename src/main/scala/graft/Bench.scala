@@ -64,12 +64,18 @@ object Bench {
     ("prefix", "im", true, SearchMode.Or)
   )
 
-  final case class LevelResult(cores: Int, buildSec: Double, docsPerSec: Double,
+  final case class LevelResult(cores: Int, buildSecs: Seq[Double], docsPerSec: Double,
                                queryMs: Map[String, Double],
-                               topDocs: Map[String, Seq[Long]])
+                               topDocs: Map[String, Seq[Long]]) {
+    def buildSec: Double = median(buildSecs)
+  }
 
+  /** Builds the identical corpus `reps` times at this level and keeps the
+    * MEDIAN build time — a single timed pass on this shared VM carries ±30%
+    * noise (BENCH.md), so the scaling criterion is computed from medians. */
   private def runLevel(cores: Int, corpusPath: String, nDocs: Long,
-                       indexBase: String, warmupPath: String): LevelResult = {
+                       indexBase: String, warmupPath: String,
+                       reps: Int): LevelResult = {
     val spark = session(cores)
     try {
       import spark.implicits._
@@ -80,10 +86,17 @@ object Bench {
         w.createSegment(spark.read.parquet(warmupPath).as[graft.core.CorpusDoc])
       }
       val corpus = spark.read.parquet(corpusPath).as[graft.core.CorpusDoc]
+      val fsPath = new org.apache.hadoop.fs.Path(indexBase)
+      val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val buildSecs = (0 until math.max(reps, 1)).map { _ =>
+        if (fs.exists(fsPath)) fs.delete(fsPath, true)
+        val store0 = new IndexStore(spark, indexBase, IndexConfig(shardSpan = 1 << 14))
+        val t0 = System.nanoTime()
+        store0.createSegment(corpus)
+        (System.nanoTime() - t0) / 1e9
+      }
       val store = new IndexStore(spark, indexBase, IndexConfig(shardSpan = 1 << 14))
-      val t0 = System.nanoTime()
-      store.createSegment(corpus)
-      val buildSec = (System.nanoTime() - t0) / 1e9
+      val buildSec = median(buildSecs)
       val engine = new SearchEngine(store)
       // warm-up pass, then timed pass
       val lat = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -106,7 +119,32 @@ object Bench {
         lat("wand3_distributed") = (System.nanoTime() - q0) / 1e6
         tops("wand3_distributed") = hits.map(_.getLong(0)).toSeq
       }
-      LevelResult(cores, buildSec, nDocs / buildSec, lat.toMap, tops.toMap)
+      LevelResult(cores, buildSecs, nDocs / buildSec, lat.toMap, tops.toMap)
+    } finally spark.stop()
+  }
+
+  /** Pipeline-operator throughput at peak cores over the sf documents table:
+    * MinHash-LSH dedup and SimHash near-dup pairing (warm, one timed pass
+    * each — regressions in the dedup plans become visible round-over-round). */
+  private def pipelineBench(cores: Int, sfDir: String): Map[String, (Double, Long, Long)] = {
+    val spark = session(cores)
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val nDocs = docs.count()
+      def timed(f: => Long): (Double, Long, Long) = {
+        f // warm
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows, nDocs)
+      }
+      Map(
+        "minhash_lsh" -> timed(
+          graft.pipeline.Dedup.minHashLshPairs(docs, numHashes = 64, bands = 16,
+            minJaccard = 0.5).count()),
+        "simhash" -> timed(
+          graft.pipeline.Dedup.simHashPairs(docs, maxDist = 3).count()))
     } finally spark.stop()
   }
 
@@ -124,6 +162,8 @@ object Bench {
     val nLow = sys.env.getOrElse("GRAFT_BENCH_CORES_LOW", "2").toInt
     val nHigh = sys.env.getOrElse("GRAFT_BENCH_CORES_HIGH", "8").toInt
     val nPeak = sys.env.getOrElse("GRAFT_BENCH_CORES_PEAK", "32").toInt
+    // ≥3 reps per criterion level; the efficiency is computed from medians
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
 
     // generate the shared input once (generation is NOT timed)
@@ -137,9 +177,10 @@ object Bench {
       } finally s.stop()
     }
 
-    val low = runLevel(nLow, s"$work/corpus", nDocs, s"$work/idx-$nLow", s"$work/warmup")
-    val high = runLevel(nHigh, s"$work/corpus", nDocs, s"$work/idx-$nHigh", s"$work/warmup")
-    val peak = runLevel(nPeak, s"$work/corpus", nDocs, s"$work/idx-$nPeak", s"$work/warmup")
+    val low = runLevel(nLow, s"$work/corpus", nDocs, s"$work/idx-$nLow", s"$work/warmup", reps)
+    val high = runLevel(nHigh, s"$work/corpus", nDocs, s"$work/idx-$nHigh", s"$work/warmup", reps)
+    val peak = runLevel(nPeak, s"$work/corpus", nDocs, s"$work/idx-$nPeak", s"$work/warmup", 1)
+    val pipeline = pipelineBench(nPeak, sfDir)
     val efficiency = (high.docsPerSec / low.docsPerSec) / (nHigh.toDouble / nLow)
     val rankIdentical = (queryMix.map(_._1) :+ "wand3_distributed").forall { name =>
       low.topDocs(name) == high.topDocs(name) && high.topDocs(name) == peak.topDocs(name)
@@ -155,18 +196,25 @@ object Bench {
     val corpusBytes = dirBytes(s"$work/corpus")
     val postingsBytes = dirBytes(s"$work/idx-$nPeak/seg-0/postings")
     val indexBytes = dirBytes(s"$work/idx-$nPeak") - dirBytes(s"$work/idx-$nPeak/seg-0/corpus")
+    def samples(xs: Seq[Double]): String = xs.map(f).mkString("[", ",", "]")
+    val pipelineJson = pipeline.map { case (name, (sec, rows, nd)) =>
+      s""""pipeline_${name}_sec":${f(sec)},"pipeline_${name}_docs_per_sec":${f(nd / sec)},"pipeline_${name}_rows":$rows"""
+    }.mkString(",")
     val json =
       s"""{"metric":"index_docs_per_sec_peak","value":${f(peak.docsPerSec)},"unit":"docs/sec",""" +
       s""""queries":$queriesJson,"sf":"$sfDir",""" +
-      s""""bench_docs":$nDocs,""" +
+      s""""bench_docs":$nDocs,"build_reps":$reps,""" +
       s""""docs_per_sec_${nLow}c":${f(low.docsPerSec)},""" +
       s""""docs_per_sec_${nHigh}c":${f(high.docsPerSec)},""" +
       s""""docs_per_sec_${nPeak}c":${f(peak.docsPerSec)},""" +
+      s""""build_secs_${nLow}c":${samples(low.buildSecs)},""" +
+      s""""build_secs_${nHigh}c":${samples(high.buildSecs)},""" +
       s""""scaling_pair":"${nLow}->${nHigh}",""" +
       s""""scaling_efficiency":${f(efficiency)},""" +
+      s""""scaling_efficiency_basis":"median_of_$reps",""" +
       s""""rank_identical_across_levels":$rankIdentical,""" +
       s""""corpus_bytes":$corpusBytes,"postings_bytes":$postingsBytes,""" +
-      s""""index_bytes_total":$indexBytes,""" +
+      s""""index_bytes_total":$indexBytes,$pipelineJson,""" +
       s""""query_p50_ms_${nPeak}c":${f(median(peak.queryMs.values.toSeq))}}"""
 
     val md =
@@ -174,15 +222,17 @@ object Bench {
          |
          |Protocol (BASELINE.md): identical deterministic corpus
          |($nDocs synthetic source files, seed 42, FIXTURES.md §1), same input
-         |parquet at every level, shuffle partitions = 4·cores.
+         |parquet at every level, shuffle partitions = 4·cores. Each criterion
+         |level is built $reps times and the MEDIAN is used — single passes on
+         |this shared VM carry ±30% noise.
          |
-         || level | build sec | files/sec |
-         ||---|---|---|
-         || local[$nLow] (N) | ${f(low.buildSec)} | ${f(low.docsPerSec)} |
-         || local[$nHigh] (4N) | ${f(high.buildSec)} | ${f(high.docsPerSec)} |
-         || local[$nPeak] (peak) | ${f(peak.buildSec)} | ${f(peak.docsPerSec)} |
+         || level | build sec (median) | samples | files/sec |
+         ||---|---|---|---|
+         || local[$nLow] (N) | ${f(low.buildSec)} | ${low.buildSecs.map(f).mkString(", ")} | ${f(low.docsPerSec)} |
+         || local[$nHigh] (4N) | ${f(high.buildSec)} | ${high.buildSecs.map(f).mkString(", ")} | ${f(high.docsPerSec)} |
+         || local[$nPeak] (peak) | ${f(peak.buildSec)} | — | ${f(peak.docsPerSec)} |
          |
-         |**Scaling efficiency (N→4N, $nLow→$nHigh cores):** ${f(efficiency)} (target ≥ 0.8)
+         |**Scaling efficiency (N→4N, $nLow→$nHigh cores, median-of-$reps):** ${f(efficiency)} (target ≥ 0.8)
          |**Top-10 docIDs rank-identical across all levels:** $rankIdentical
          |**Index size:** postings ${postingsBytes / 1048576} MB
          |(delta+varint blobs + block metadata) for a ${corpusBytes / 1048576} MB
@@ -212,6 +262,14 @@ object Bench {
          |comparable — the table below shows warm top-10 latencies, with the
          |driver-local WAND fast path on small candidate sets and the fully
          |distributed path (fast path off) reported separately.
+         |
+         |## Pipeline-operator throughput (local[$nPeak], sf documents table)
+         |
+         || operator | wall sec | docs/sec | pairs found |
+         ||---|---|---|---|
+         |${pipeline.toSeq.sortBy(_._1).map { case (name, (sec, rows, nd)) =>
+            s"| $name | ${f(sec)} | ${f(nd / sec)} | $rows |"
+          }.mkString("\n|")}
          |
          |## BM25 top-10 query latency (warm, ms)
          |

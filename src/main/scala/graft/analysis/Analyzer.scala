@@ -35,10 +35,38 @@ object Analyzer {
     * pinned to the same tokenizer as terms, SURVEY.md §A.1). */
   def docLength(content: Column): Column = size(tokens(content))
 
-  /** Driver/executor-side Scala twin of [[tokens]] — used by the single-node
-    * oracle scorer and by query parsing. Must stay semantically identical to
-    * the Column version (property-tested in AnalyzerSpec). */
+  /** The Unicode White_Space property — exactly the set `(?U)\s` binds to
+    * (and Go's `unicode.IsSpace`): categories Zs/Zl/Zp plus U+0009–U+000D
+    * and U+0085. ASCII fast path first; `Character.isSpaceChar` covers the
+    * Z categories. */
+  @inline def isWhitespace(c: Char): Boolean =
+    if (c < 128) c == ' ' || (c >= '\t' && c <= '\r')
+    else c == '\u0085' || Character.isSpaceChar(c)
+
+  /** Driver/executor-side Scala twin of [[tokens]] — used by the index
+    * build's hot path, the single-node oracle scorer and query parsing.
+    * A hand-rolled scanner rather than `split(regex)`: `String.split`
+    * compiles the pattern on EVERY call and materializes an intermediate
+    * array, which at millions of docs×fields dominates build allocation.
+    * Must stay semantically identical to the Column version AND to the
+    * regex split (both property-tested in AnalyzerSpec). */
   def tokenize(content: String): Array[String] = {
+    val n = content.length
+    if (n == 0) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[String](8 + n / 8)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWhitespace(content.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWhitespace(content.charAt(i))) i += 1
+      if (i > start) out += content.substring(start, i).toLowerCase
+    }
+    out.toArray
+  }
+
+  /** The original regex-split tokenizer, kept as the executable spec the
+    * scanner is property-tested against. */
+  private[graft] def tokenizeRegex(content: String): Array[String] = {
     val raw = content.split(WhitespaceRegex)
     val out = new scala.collection.mutable.ArrayBuffer[String](raw.length)
     var i = 0

@@ -59,6 +59,26 @@ object ExtraQueries {
       work
     })
 
+  // ---------- app-registry cache (one multi-store build per sf dir) ----------
+
+  private val registryCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.AppRegistry]
+
+  /** Builds one app per language of the documents table under a single
+    * registry root — exercising createApp/build/listApps end to end. */
+  private def registryFor(s: SparkSession, dir: String): graft.index.AppRegistry =
+    registryCache.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft-apps").toString
+      val reg = new graft.index.AppRegistry(s, root,
+        IndexConfig(shardSpan = 256, fields = Seq("content")))
+      val langs = Corpus.documents(s, dir).select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted
+      langs.foreach { lang =>
+        val docs = Corpus.fromDocuments(s, dir, Some(lang))
+        reg.app(lang).createSegment(docs)
+      }
+      reg
+    })
+
   private def roundHits(hits: DataFrame, k: Int): DataFrame =
     hits.select(col("doc_id"), round(col("score"), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id")).limit(k)
@@ -102,6 +122,56 @@ object ExtraQueries {
           |         count(DISTINCT term) AS n_terms FROM ctoks
           |)
           |SELECT * FROM single UNION ALL SELECT * FROM content ORDER BY field""".stripMargin)),
+
+    // per-field boosting (SURVEY §7.6 stretch): two-field search with the
+    // lang field down-weighted 0.5x; boost scales idf at the stats source so
+    // every path (exhaustive, driver, WAND bounds) is consistent
+    QueryDef("q_search_boosted",
+      (s, dir) => roundHits(
+        QueryRegistry.engineFor(s, dir).search("spark en", Seq("content", "lang"),
+          k = 10, mode = SearchMode.Or, boosts = Map("lang" -> 0.5)), 10),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, lower(t) AS term
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+          |  WHERE t <> ''
+          |),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          |cscores AS (
+          |  SELECT tf.doc_id,
+          |         sum( ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+          |              * (tf.tf * (1.2 + 1.0))
+          |              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+          |  FROM tf JOIN df ON tf.term = df.term
+          |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+          |  WHERE tf.term IN ('spark', 'en') GROUP BY tf.doc_id
+          |),
+          |lstats AS (SELECT count(*) AS n FROM documents),
+          |ldf AS (SELECT lang, count(*) AS df FROM documents GROUP BY lang),
+          |-- lang fields are single tokens: dl = avgdl = 1, so the BM25
+          |-- tf-normalization is exactly 1.0 and only boost*idf remains
+          |lscores AS (
+          |  SELECT d.doc_id, 0.5 * ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) AS s
+          |  FROM documents d JOIN ldf f ON d.lang = f.lang CROSS JOIN lstats s
+          |  WHERE d.lang IN ('spark', 'en')
+          |),
+          |total AS (
+          |  SELECT doc_id, sum(s) AS s
+          |  FROM (SELECT * FROM cscores UNION ALL SELECT * FROM lscores)
+          |  GROUP BY doc_id
+          |)
+          |SELECT doc_id, round(s, 4) AS score FROM total
+          |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // app registry / multi-app namespaces (O21 "apps" half, reference
+    // ListApps indexing.go:196-202): one store per language under one root
+    QueryDef("q_list_apps",
+      (s, dir) => registryFor(s, dir).listApps().orderBy("app"),
+      Some("""SELECT lang AS app, 1 AS n_segments, count(*) AS n_docs
+             |FROM documents GROUP BY lang ORDER BY app""".stripMargin)),
 
     // JSON flatten + nest round trip (O3/O4): build a nested shape, flatten
     // to `a\.b` leaves, nest back, and project the restored leaves

@@ -73,6 +73,60 @@ object PipelineQueries {
        |WHERE c * 1.0 / (x.n + y.n - c) >= $minJ
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** DuckDB twin of Dedup.simHashes + brute-force Hamming pairing. The Spark
+    * side's block-bucket join has guaranteed recall (pigeonhole), so its
+    * result set equals this exhaustive scan exactly. */
+  private def simhashSql(docs: String, maxDist: Int): String = {
+    import graft.functions.PortableHash
+    val bits = Dedup.SimHashBits
+    val votes = (0 until bits)
+      .map(i => s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN tf ELSE -tf END) AS v$i")
+      .mkString(", ")
+    val assemble = (0 until bits)
+      .map(i => s"CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""WITH docs AS ($docs),
+       |toks AS (
+       |  SELECT doc_id, lower(t) AS term
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs)
+       |  WHERE t <> ''
+       |),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |th AS (SELECT doc_id, tf,
+       |       ${PortableHash.sql("term", 1L)} | (${PortableHash.sql("term", 2L)} << 31) AS th
+       |       FROM tf),
+       |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $assemble AS simhash FROM votes)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB twin of TextAnalysis.fingerprints (winnowing over the portable
+    * hash), summarized by scalar aggregates of the fingerprint set. */
+  private def fingerprintsSql(docs: String, k: Int, w: Int): String = {
+    import graft.functions.PortableHash
+    val shingle = (0 until k).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+    s"""WITH docs AS ($docs),
+       |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts FROM docs),
+       |idx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${k - 1})) AS i
+       |        FROM t WHERE len(ts) >= $k),
+       |hs AS (SELECT doc_id, list(${PortableHash.sql(shingle, TextAnalysis.FingerprintSeed)} ORDER BY i) AS hl
+       |       FROM idx GROUP BY doc_id),
+       |fps AS (SELECT doc_id,
+       |        CASE WHEN len(hl) <= $w THEN [list_min(hl)]
+       |             ELSE list_distinct([list_min(hl[j:j+${w - 1}])
+       |                                 FOR j IN generate_series(1, len(hl) - ${w - 1})])
+       |        END AS fp
+       |        FROM hs)
+       |SELECT doc_id, len(fp)::BIGINT AS n_fingerprints,
+       |       list_min(fp) AS fp_min, list_max(fp) AS fp_max,
+       |       list_sum(fp)::BIGINT AS fp_sum
+       |FROM fps ORDER BY doc_id""".stripMargin
+  }
+
   // ---------- registry ----------
 
   def all: Seq[QueryDef] = Seq(
@@ -101,12 +155,14 @@ object PipelineQueries {
         .orderBy("id_a", "id_b"),
       Some(jaccardSql(nearDupSql, 0.5))),
 
-    // SimHash uses xxhash64 bit votes — not expressible in the oracle;
-    // validated against brute-force Hamming in PipelineSpec (rows-only here).
+    // SimHash over the portable seeded hash family: block-bucketed pairing
+    // has pigeonhole-guaranteed recall, so it equals the oracle's BRUTE-FORCE
+    // all-pairs Hamming scan — a full hash verification of the operator.
     QueryDef("q_dedup_simhash",
       (s, dir) => Dedup.simHashPairs(nearDupDocs(s, dir), maxDist = 7)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b"),
-      None),
+      Some(simhashSql(nearDupSql, 7))),
 
     QueryDef("q_dedup_embedding",
       (s, dir) => Similarity.embeddingDupPairs(dupEmbeddings(s, dir),
@@ -225,12 +281,17 @@ object PipelineQueries {
              |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // winnowed fingerprints use xxhash64 — validated by property tests in
-    // PipelineSpec; rows-only driver check
+    // winnowed fingerprints over the portable hash family — the full
+    // shingle-hash → window-min → distinct chain is hash-verified via
+    // scalar aggregates of the fingerprint set
     QueryDef("q_fingerprints",
       (s, dir) => TextAnalysis.fingerprints(Corpus.documents(s, dir))
-        .select(col("doc_id"), col("n_fingerprints")).orderBy("doc_id"),
-      None),
+        .select(col("doc_id"), col("n_fingerprints"),
+          array_min(col("fingerprints")).as("fp_min"),
+          array_max(col("fingerprints")).as("fp_max"),
+          aggregate(col("fingerprints"), lit(0L), _ + _).as("fp_sum"))
+        .orderBy("doc_id"),
+      Some(fingerprintsSql("SELECT doc_id, text FROM documents", 4, 5))),
 
     QueryDef("q_multimodal_meta",
       (s, dir) => Multimodal.extractMeta(
@@ -242,6 +303,33 @@ object PipelineQueries {
              |       lower(hex(substr(text, 1, 4)::BLOB)) AS magic,
              |       ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1)) AS width,
              |       ascii(substr(text, 3, 1)) * 256 + ascii(substr(text, 4, 1)) AS height
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // REAL container parse (PNG signature/IHDR walk + RIFF/WAVE chunk walk):
+    // payload bytes are synthesized deterministically from (doc_id, n_chars),
+    // parsed back by the pure-JVM MediaCodec, and the oracle recomputes the
+    // planted dimensions arithmetically — the parser is hash-verified.
+    QueryDef("q_multimodal_container",
+      (s, dir) => {
+        import s.implicits._
+        val base = Corpus.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).as("n_chars"))
+          .as[(Long, Int)]
+        val payloads = base.map { case (id, nc) =>
+          val bytes =
+            if (id % 2 == 0) Multimodal.MediaCodec.pngBytes(id % 1024 + 1, nc % 1024 + 1)
+            else Multimodal.MediaCodec.wavBytes(id % 8 + 1, 8000 + nc % 8000)
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+        Multimodal.extractContainerMeta(payloads)
+          .select(col("doc_id"), col("format"), col("d1"), col("d2"), col("ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+             |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 1024 + 1 ELSE doc_id % 8 + 1 END AS d1,
+             |  CASE WHEN doc_id % 2 = 0 THEN length(text) % 1024 + 1 ELSE 8000 + length(text) % 8000 END AS d2,
+             |  true AS ok
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q_frame_sample",

@@ -14,9 +14,11 @@ object Corpus {
     * The mapping is pure Column arithmetic so Catalyst can prune/push down
     * (e.g. a query touching only `content` reads only the `text` column).
     */
-  def fromDocuments(spark: SparkSession, sfDir: String): Dataset[CorpusDoc] = {
+  def fromDocuments(spark: SparkSession, sfDir: String,
+                    lang: Option[String] = None): Dataset[CorpusDoc] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    lang.fold(base)(l => base.filter(col("lang") === l))
       .select(
         col("doc_id"),
         col("source").as("repo"),

@@ -1,0 +1,66 @@
+package graft.index
+
+import graft.core.IndexConfig
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-app namespace registry: one [[IndexStore]] per app name under a
+  * root directory — the catalog layer the reference keeps as named
+  * in-memory indexes (`indexing.go:28, 40-44, 69-76`) with `ListApps`
+  * enumeration (`indexing.go:196-202`).
+  *
+  * An "app" here IS a directory with a committed manifest; no separate
+  * registry state exists, so the catalog can never disagree with storage
+  * (the reference's in-memory map is rebuilt from disk the same way on
+  * startup, `indexing.go:69-76`).
+  */
+class AppRegistry(val spark: SparkSession, val rootDir: String,
+                  val cfg: IndexConfig = IndexConfig()) {
+  import spark.implicits._
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = new Path(rootDir).getFileSystem(hconf)
+
+  /** App names must be path-safe (one directory level). */
+  private def validate(name: String): String = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"invalid app name: $name")
+    name
+  }
+
+  /** The app's store (creates nothing until a segment commits). */
+  def app(name: String): IndexStore =
+    new IndexStore(spark, s"$rootDir/${validate(name)}", cfg)
+
+  def exists(name: String): Boolean =
+    fs.exists(new Path(s"$rootDir/${validate(name)}/manifest.json"))
+
+  /** Registered app names = child directories with a committed manifest. */
+  def appNames(): Seq[String] = {
+    val root = new Path(rootDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new Path(st.getPath, "manifest.json")))
+      .map(_.getPath.getName)
+      .sorted
+  }
+
+  /** The reference's ListApps surface: per-app segment and live-doc counts.
+    * Manifest reads are driver-side FS metadata; tombstone corrections use
+    * each store's live count only when tombstones exist. */
+  def listApps(): DataFrame =
+    appNames().map { name =>
+      val store = app(name)
+      val segs = store.segments
+      val live =
+        if (store.tombstoneCount() == 0L) segs.map(_.numDocs).sum
+        else store.liveCorpus().count()
+      (name, segs.size.toLong, live)
+    }.toDF("app", "n_segments", "n_docs")
+
+  /** Drop an app (delete its store directory). */
+  def dropApp(name: String): Boolean =
+    fs.delete(new Path(s"$rootDir/${validate(name)}"), true)
+}

@@ -24,9 +24,17 @@ object IndexBuilder {
   /** corpus → one Posting row per distinct (field, term, doc).
     *
     * A typed flatMap is used deliberately (SURVEY.md §7.3 decision table):
-    * the per-row "tokenize + count into a hash map" is genuine imperative
-    * per-record logic; doing it relationally (explode + groupBy(doc, term))
-    * would add a full extra shuffle over ~200 tokens/doc just to compute tf.
+    * the per-row "tokenize + count" is genuine imperative per-record logic;
+    * doing it relationally (explode + groupBy(doc, term)) would add a full
+    * extra shuffle over ~200 tokens/doc just to compute tf.
+    *
+    * tf is counted by sorting the token array in place and walking runs —
+    * zero allocation beyond the tokens themselves. The earlier
+    * HashMap[String, Int] variant boxed a fresh Integer + map entry per
+    * distinct term; at build scale that garbage was a measurable share of
+    * the memory-bandwidth wall this VM hits above ~8 threads. Emission
+    * order changes (sorted vs hash order) but the downstream range
+    * repartition + sort makes the build output byte-identical either way.
     */
   def postings(corpus: Dataset[CorpusDoc],
                fields: Seq[String] = CorpusDoc.Fields): Dataset[Posting] = {
@@ -36,10 +44,22 @@ object IndexBuilder {
       fieldsB.iterator.flatMap { f =>
         val toks = Analyzer.tokenize(CorpusDoc.fieldValue(doc, f))
         val dl = toks.length
-        val m = new scala.collection.mutable.HashMap[String, Int]()
-        var i = 0
-        while (i < toks.length) { m.update(toks(i), m.getOrElse(toks(i), 0) + 1); i += 1 }
-        m.iterator.map { case (t, tf) => Posting(f, t, doc.doc_id, tf, dl) }
+        if (dl == 0) Iterator.empty
+        else {
+          java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
+          new Iterator[Posting] {
+            private var i = 0
+            def hasNext: Boolean = i < dl
+            def next(): Posting = {
+              val t = toks(i)
+              var j = i + 1
+              while (j < dl && toks(j) == t) j += 1
+              val tf = j - i
+              i = j
+              Posting(f, t, doc.doc_id, tf, dl)
+            }
+          }
+        }
       }
     }
   }

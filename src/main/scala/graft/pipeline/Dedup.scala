@@ -150,35 +150,42 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash per doc from tf-weighted token hash bit votes.
-    * Plan: token tf rows → 64 conditional sums (codegen'd) → bit assembly. */
+  /** SimHash width: 62 bits = two seeded 31-bit [[graft.functions.PortableHash]]
+    * lanes — chosen over xxhash64 so the whole SimHash pipeline has an exact
+    * DuckDB oracle twin (the two extra bits buy nothing at these distances). */
+  val SimHashBits: Int = 62
+
+  /** 62-bit SimHash per doc from tf-weighted token hash bit votes.
+    * Plan: token tf rows → 62 conditional sums (codegen'd) → bit assembly. */
   def simHashes(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.PortableHash
     val tf = docs
       .select(col("doc_id"), explode(Analyzer.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .withColumn("th", xxhash64(col("term")))
-    val votes = (0 until 64).map { i =>
+      .withColumn("th", PortableHash.hash(col("term"), 1L)
+        .bitwiseOR(shiftleft(PortableHash.hash(col("term"), 2L), 31)))
+    val votes = (0 until SimHashBits).map { i =>
       sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
         .otherwise(-col("tf"))).as(s"v$i")
     }
     tf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i =>
+        (0 until SimHashBits).map(i =>
           when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (Manku et al.
-    * block-permutation scheme). The 64 bits are cut into maxDist+1 blocks:
+    * block-permutation scheme). The 62 bits are cut into maxDist+1 blocks:
     * by pigeonhole, any pair within distance maxDist agrees on at least one
     * full block, so the block-bucket join has GUARANTEED recall; candidates
-    * are verified with bit_count(xor). maxDist ≤ 7 keeps blocks ≥ 8 bits
+    * are verified with bit_count(xor). maxDist ≤ 7 keeps blocks ≥ 7 bits
     * (coarser blocks make bucket sizes — and the join — explode). */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
                    maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 7, "maxDist must be in [1, 7]")
     val nBlocks = maxDist + 1
-    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks) // bit offsets
+    val bounds = (0 to nBlocks).map(i => i * SimHashBits / nBlocks) // bit offsets
     val hs = simHashes(docs, textCol)
     val blockCols = (0 until nBlocks).map { bl =>
       val lo = bounds(bl); val width = bounds(bl + 1) - lo

@@ -44,6 +44,109 @@ object Multimodal {
     }
   }
 
+  /** Typed metadata from a REAL container parse. */
+  final case class ContainerMeta(
+      doc_id: Long,
+      format: String,  // "png" | "wav" | "stub"
+      d1: Long,        // png: width   | wav: channels
+      d2: Long,        // png: height  | wav: sample rate
+      n_bytes: Long,
+      ok: Boolean)
+
+  /** Real pure-JVM container parsers — the decode seam carries real bytes
+    * for two ubiquitous formats; [[StubCodec]] remains the fallback for
+    * containers whose decoders aren't in this environment (jpeg/mp4 would
+    * slot in here). Reference capability analogue: arbitrary-payload ingest
+    * (indexing.go:299-369). */
+  object MediaCodec {
+    private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def le16(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8)
+    private def ascii(b: Array[Byte], o: Int, n: Int): String =
+      new String(b, o, n, "US-ASCII")
+
+    def isPng(b: Array[Byte]): Boolean =
+      b != null && b.length >= 8 && (0 until 8).forall(i => b(i) == PngSig(i))
+
+    def isWav(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 &&
+        ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"
+
+    /** PNG: 8-byte signature, then the IHDR chunk
+      * (len 4BE = 13, "IHDR", width 4BE, height 4BE, ...). */
+    def parsePng(b: Array[Byte]): Option[(Long, Long)] =
+      if (!isPng(b) || b.length < 24 || ascii(b, 12, 4) != "IHDR" ||
+          be32(b, 8) < 13) None
+      else Some((be32(b, 16), be32(b, 20)))
+
+    /** WAV: RIFF/WAVE header, then walk chunks to "fmt " for
+      * (channels 2LE @+2, sampleRate 4LE @+4). */
+    def parseWav(b: Array[Byte]): Option[(Long, Long)] = {
+      if (!isWav(b)) return None
+      var o = 12
+      while (o + 8 <= b.length) {
+        val id = ascii(b, o, 4)
+        val size = le32(b, o + 4)
+        if (id == "fmt " && o + 16 <= b.length)
+          return Some((le16(b, o + 10), le32(b, o + 12)))
+        o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      None
+    }
+
+    def decode(doc_id: Long, b: Array[Byte]): ContainerMeta = {
+      val n = if (b == null) 0L else b.length.toLong
+      parsePng(b).map { case (w, h) => ContainerMeta(doc_id, "png", w, h, n, ok = true) }
+        .orElse(parseWav(b).map { case (c, r) => ContainerMeta(doc_id, "wav", c, r, n, ok = true) })
+        .getOrElse {
+          val (_, w, h, ok) = StubCodec.decode(b)
+          ContainerMeta(doc_id, "stub", w.toLong, h.toLong, n, ok)
+        }
+    }
+
+    // ---- deterministic synthetic payload writers (tests + driver queries;
+    //      real deployments read payload bytes from the lake) ----
+
+    def pngBytes(width: Long, height: Long): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + 25)
+      out.put(PngSig)
+      out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      out.putInt(width.toInt).putInt(height.toInt)
+      out.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      out.putInt(0) // CRC not validated by header parse
+      out.array()
+    }
+
+    def wavBytes(channels: Long, sampleRate: Long): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + 8 + 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(28).put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1) // PCM
+      out.putShort(channels.toShort)
+      out.putInt(sampleRate.toInt)
+      out.putInt((sampleRate * channels * 2).toInt) // byte rate
+      out.putShort((channels * 2).toShort)          // block align
+      out.putShort(16)                              // bits/sample
+      out.array()
+    }
+  }
+
+  /** Container metadata over real PNG/WAV bytes, partition-parallel. */
+  def extractContainerMeta(payloads: DataFrame): Dataset[ContainerMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => MediaCodec.decode(id, bytes) })
+  }
+
   /** Partition-parallel metadata extraction through the stub codec. A typed
     * mapPartitions keeps the decode batched per partition (the same shape a
     * vectorized/Arrow UDF would have) and returns a typed Dataset. */

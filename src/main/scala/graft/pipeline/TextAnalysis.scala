@@ -75,9 +75,15 @@ object TextAnalysis {
       regexp_count(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
         .cast("long").as("n_bpe_tokens"))
 
+  /** Seed of the fingerprint hash family (any fixed value; pinned so the
+    * oracle SQL can mirror it). */
+  val FingerprintSeed: Long = 7L
+
   /** Winnowing document fingerprints (Schleimer et al. MOSS scheme):
     * k-token shingle rolling hashes, minimum per sliding window of w —
-    * the classic near-dup/plagiarism fingerprint. Output:
+    * the classic near-dup/plagiarism fingerprint. Hashes use the seeded
+    * [[graft.functions.PortableHash]] family so the whole operator has an
+    * exact DuckDB oracle twin. Output:
     * (doc_id, n_fingerprints, fingerprints sorted). */
   def fingerprints(docs: DataFrame, textCol: String = "text",
                    k: Int = 4, w: Int = 5): DataFrame = {
@@ -86,8 +92,9 @@ object TextAnalysis {
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         transform(sequence(lit(0), size(col("toks")) - k),
-          i => pmod(xxhash64(concat_ws(" ", slice(col("toks"), i + lit(1), lit(k)))),
-            lit(Long.MaxValue))).as("hs"))
+          i => graft.functions.PortableHash.hash(
+            concat_ws(" ", slice(col("toks"), i + lit(1), lit(k))),
+            FingerprintSeed)).as("hs"))
     hashes.select(col("doc_id"),
         when(size(col("hs")) <= w, array(array_min(col("hs"))))
           .otherwise(array_distinct(

@@ -101,7 +101,8 @@ class SearchEngine(val store: IndexStore) {
     * pinned BM25, return top-k (doc_id, score). */
   def search(query: String, fields: Seq[String] = CorpusDoc.Fields,
              beginsWith: Boolean = false, k: Int = 100,
-             mode: SearchMode = SearchMode.Or): DataFrame = {
+             mode: SearchMode = SearchMode.Or,
+             boosts: Map[String, Double] = Map.empty): DataFrame = {
     val qTerms = Analyzer.tokenize(query).distinct.sorted.toSeq
     if (qTerms.isEmpty) return spark.emptyDataset[Hit].toDF()
     // .distinct: overlapping prefix expansions (e.g. "cl cla" both matching
@@ -117,11 +118,11 @@ class SearchEngine(val store: IndexStore) {
       // deletions), so fall back to the exhaustive OR plan — identical
       // top-k semantics, anti-join tombstone filtering.
       case SearchMode.Wand if tombstonesSmall =>
-        new WandExecutor(this).search(qTerms, matched, fields, k)
+        new WandExecutor(this).search(qTerms, matched, fields, k, boosts)
       case SearchMode.Wand =>
-        exhaustive(qTerms, matched, fields, k, SearchMode.Or)
+        exhaustive(qTerms, matched, fields, k, SearchMode.Or, boosts)
       case _ =>
-        exhaustive(qTerms, matched, fields, k, mode)
+        exhaustive(qTerms, matched, fields, k, mode, boosts)
     }
   }
 
@@ -129,8 +130,9 @@ class SearchEngine(val store: IndexStore) {
     * hit docs from disk, indexing.go:534-537); broadcast join on ≤k ids. */
   def searchDocs(query: String, fields: Seq[String] = CorpusDoc.Fields,
                  beginsWith: Boolean = false, k: Int = 100,
-                 mode: SearchMode = SearchMode.Or): DataFrame = {
-    val hits = search(query, fields, beginsWith, k, mode)
+                 mode: SearchMode = SearchMode.Or,
+                 boosts: Map[String, Double] = Map.empty): DataFrame = {
+    val hits = search(query, fields, beginsWith, k, mode, boosts)
     store.liveCorpus().join(broadcast(hits), Seq("doc_id"))
       .orderBy(desc("score"), asc("doc_id"))
   }
@@ -174,8 +176,15 @@ class SearchEngine(val store: IndexStore) {
   // ---------- scoring internals ----------
 
   /** idf + avgdl + df statistics for the matched (field, term) pairs,
-    * computed on the driver (≤ |fields|·|terms| rows) and broadcast. */
-  private[search] def termStats(matched: Seq[(String, String)]): Seq[TermStat] = {
+    * computed on the driver (≤ |fields|·|terms| rows) and broadcast.
+    *
+    * Per-field boosts scale idf here, at the single source of scoring
+    * statistics: every downstream path (Column arithmetic, driver
+    * accumulation, WAND global/block upper bounds and contributions) is
+    * linear in idf, so one multiplication boosts them all consistently —
+    * WAND pruning stays safe because bounds scale with contributions. */
+  private[search] def termStats(matched: Seq[(String, String)],
+                                boosts: Map[String, Double] = Map.empty): Seq[TermStat] = {
     refreshIfStale()
     val fstats = fieldStatsC
     val fieldsTouched = matched.map(_._1).distinct
@@ -186,7 +195,8 @@ class SearchEngine(val store: IndexStore) {
     matched.flatMap { case (f, t) =>
       dfMap.get((f, t)).flatMap { df =>
         fstats.get(f).collect { case (n, sumDl) if n > 0 && df > 0 =>
-          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          val boost = boosts.getOrElse(f, 1.0)
+          val idf = boost * math.log(1.0 + (n - df + 0.5) / (df + 0.5))
           val avgdl = sumDl.toDouble / n
           TermStat(f, t, df, idf, avgdl)
         }
@@ -232,9 +242,10 @@ class SearchEngine(val store: IndexStore) {
   }
 
   private def exhaustive(qTerms: Seq[String], matched: Seq[(String, String)],
-                         fields: Seq[String], k: Int, mode: SearchMode): DataFrame = {
+                         fields: Seq[String], k: Int, mode: SearchMode,
+                         boosts: Map[String, Double] = Map.empty): DataFrame = {
     if (matched.isEmpty) return spark.emptyDataset[Hit].toDF()
-    val stats = termStats(matched)
+    val stats = termStats(matched, boosts)
     if (stats.isEmpty) return spark.emptyDataset[Hit].toDF()
     // small-query fast path (same bound as WAND): accumulate on the driver
     // from one pruned scan instead of decode+shuffle+agg jobs. Requires the

@@ -37,10 +37,11 @@ class WandExecutor(engine: SearchEngine) {
   private val bm25 = engine.store.cfg.bm25
 
   def search(qTerms: Seq[String], matched: Seq[(String, String)],
-             fields: Seq[String], k: Int): DataFrame = {
+             fields: Seq[String], k: Int,
+             boosts: Map[String, Double] = Map.empty): DataFrame = {
     val spark = engine.store.spark
     if (matched.isEmpty) return spark.emptyDataset[Hit].toDF()
-    val stats = engine.termStats(matched)
+    val stats = engine.termStats(matched, boosts)
     if (stats.isEmpty) return spark.emptyDataset[Hit].toDF()
     val statsMap = stats.map(s => (s.field, s.term) -> (s.idf, s.avgdl)).toMap
     val k1 = bm25.k1; val b = bm25.b; val kk = k

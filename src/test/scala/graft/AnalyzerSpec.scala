@@ -47,6 +47,34 @@ class AnalyzerSpec extends AnyFunSuite {
     }
   }
 
+  test("scanner tokenizer == regex-split tokenizer (incl. full Unicode whitespace set)") {
+    // every White_Space codepoint, planted between tokens
+    val wsChars: Seq[Char] = ((0x0009 to 0x000d) ++ Seq(0x0020, 0x0085, 0x00a0,
+      0x1680, 0x2028, 0x2029, 0x202f, 0x205f, 0x3000) ++ (0x2000 to 0x200a))
+      .map(_.toChar)
+    wsChars.foreach { w =>
+      val s = s"Alpha${w}Beta$w${w}Gamma$w"
+      assert(Analyzer.tokenize(s).toSeq == Analyzer.tokenizeRegex(s).toSeq,
+        s"ws U+${w.toInt.toHexString}")
+      assert(Analyzer.tokenize(s).toSeq == Seq("alpha", "beta", "gamma"))
+    }
+    // near-misses that are NOT whitespace must not split: ZWSP, WORD JOINER,
+    // SOFT HYPHEN, ZWNBSP
+    Seq(0x200b, 0x2060, 0x00ad, 0xfeff).map(_.toChar).foreach { w =>
+      val s = s"a${w}b"
+      assert(Analyzer.tokenize(s).toSeq == Analyzer.tokenizeRegex(s).toSeq, s"U+${w.toInt.toHexString}")
+      assert(Analyzer.tokenize(s).length == 1, s"U+${w.toInt.toHexString} must not split")
+    }
+    // randomized parity
+    val gen = Gen.listOfN(40, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(5)),
+      Gen.oneOf(wsChars.map(_.toString) ++ Seq("Mi X", "ÀÉ", "中 文", ""))
+    )).map(_.mkString)
+    PropCheck.forAllG(gen) { s =>
+      assert(Analyzer.tokenize(s).toSeq == Analyzer.tokenizeRegex(s).toSeq, s"mismatch on [$s]")
+    }
+  }
+
   test("tokenization invariant under extra whitespace; lowercase idempotent") {
     PropCheck.forAllG(Gen.listOfN(10, Gen.identifier.map(_.take(8)))) { words =>
       val ws = words.filter(_.nonEmpty)

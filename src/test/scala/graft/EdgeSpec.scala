@@ -140,6 +140,27 @@ class EdgeSpec extends AnyFunSuite {
     assert(hits.sameElements(Array(9999L)), "resumed segment must index the new corpus")
   }
 
+  test("app registry: per-app stores, listApps live counts, dropApp") {
+    val reg = new graft.index.AppRegistry(spark, TestSpark.tempDir("apps"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    assert(reg.appNames().isEmpty && reg.listApps().isEmpty)
+    reg.app("alpha").createSegment(CorpusGen.generate(spark, 20, seed = 1))
+    reg.app("beta").createSegment(CorpusGen.generate(spark, 30, seed = 2))
+    assert(reg.appNames() == Seq("alpha", "beta"))
+    assert(reg.exists("alpha") && !reg.exists("gamma"))
+    def rows = reg.listApps().orderBy("app").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("alpha", 1L, 20L), ("beta", 1L, 30L)))
+    // mutations stay namespaced: delete in alpha, append in beta
+    reg.app("alpha").delete(Seq(0L, 1L))
+    reg.app("beta").add(spark.createDataset(Seq(
+      CorpusDoc(500L, "rx", "p/x", "f" * 40, "en", "fresh beta doc"))))
+    assert(rows == Seq(("alpha", 1L, 18L), ("beta", 2L, 31L)))
+    reg.dropApp("alpha")
+    assert(reg.appNames() == Seq("beta"))
+    intercept[IllegalArgumentException](reg.app("../evil"))
+  }
+
   test("commit-field exact lookup (40-hex unique terms)") {
     val docs = CorpusGen.generate(spark, 50, seed = 12).collect().toSeq
     val store = new IndexStore(spark, TestSpark.tempDir("commit"), IndexConfig(shardSpan = 64))

@@ -159,6 +159,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getLong(2) == 5) // foo, bar, 42, baz, !
   }
 
+  test("portable hash: Column form == Scala twin == pinned DuckDB value") {
+    import graft.functions.PortableHash
+    // pinned against DuckDB: list_reduce(list_prepend(1, codes('spark')), ...)
+    assert(PortableHash.hash("spark", 1L) == 138267516L)
+    val words = Seq("spark", "Join", "a", "xyz123", "", "merge sort")
+    val got = words.toDF("w")
+      .select(PortableHash.hash(col("w"), 7L)).collect().map(_.getLong(0))
+    assert(got.toSeq == words.map(PortableHash.hash(_, 7L)))
+    assert(words.map(PortableHash.hash(_, 1L)).distinct.size >= words.size - 1)
+  }
+
   test("winnowing fingerprints: deterministic, shared between near-dups") {
     val fps = TextAnalysis.fingerprints(nearDup, k = 4, w = 5)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
@@ -170,6 +181,33 @@ class PipelineSpec extends AnyFunSuite {
     // larger share of its fingerprints — require a strong mean and a sane floor
     assert(shared.nonEmpty && shared.sum / shared.size > 0.7 && shared.forall(_ >= 0.3),
       s"near-dup docs must share most fingerprints: $shared")
+  }
+
+  test("MediaCodec parses real PNG/WAV headers; rejects corrupt bytes to stub") {
+    import Multimodal.MediaCodec
+    // round-trip: synthesized container -> parse
+    assert(MediaCodec.parsePng(MediaCodec.pngBytes(640, 480)).contains((640L, 480L)))
+    assert(MediaCodec.parseWav(MediaCodec.wavBytes(2, 44100)).contains((2L, 44100L)))
+    // a real minimal PNG as produced by any encoder has the same header shape
+    val m = MediaCodec.decode(7L, MediaCodec.pngBytes(1, 1))
+    assert(m.format == "png" && m.d1 == 1 && m.d2 == 1 && m.ok)
+    // WAV with a leading non-fmt chunk still finds fmt via the chunk walk
+    val wav = MediaCodec.wavBytes(1, 8000)
+    val junkChunk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](2, 0, 0, 0, 9, 9)
+    val shifted = wav.take(12) ++ junkChunk ++ wav.drop(12)
+    assert(MediaCodec.parseWav(shifted).contains((1L, 8000L)))
+    // corrupt signatures fall back to the stub codec
+    assert(MediaCodec.decode(1L, "notapngorwav".getBytes).format == "stub")
+    assert(MediaCodec.decode(1L, MediaCodec.pngBytes(9, 9).take(10)).format == "stub")
+    assert(MediaCodec.parseWav("RIFFxxxxWAVE".getBytes).isEmpty) // no fmt chunk
+    assert(MediaCodec.decode(1L, null).format == "stub")
+    // distributed plumbing: typed mapPartitions over binary payloads
+    val payloads = Seq(
+      (0L, MediaCodec.pngBytes(10, 20)), (1L, MediaCodec.wavBytes(4, 16000)))
+      .toDF("doc_id", "payload")
+    val metas = Multimodal.extractContainerMeta(payloads).collect()
+      .map(c => (c.doc_id, c.format, c.d1, c.d2)).sorted
+    assert(metas.toSeq == Seq((0L, "png", 10L, 20L), (1L, "wav", 4L, 16000L)))
   }
 
   test("multimodal stub codec + metadata plumbing") {

@@ -123,6 +123,30 @@ class QuerySetSpec extends AnyFunSuite {
     }
   }
 
+  test("per-field boosts: WAND == exhaustive, and boost scales the field's contribution") {
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      CorpusDoc(i.toLong, s"repo${i % 3}", s"p$i", "c" * 40,
+        if (i % 2 == 0) "en" else "de", s"alpha beta${i % 5} gamma$i")
+    }
+    val store = new IndexStore(spark, TestSpark.tempDir("boost"),
+      IndexConfig(shardSpan = 16, fields = Seq("content", "lang")))
+    store.createSegment(spark.createDataset(docs))
+    val eng = new SearchEngine(store)
+    val boosts = Map("lang" -> 3.0)
+    def run(mode: SearchMode) =
+      eng.search("alpha en", Seq("content", "lang"), k = 20, mode = mode, boosts = boosts)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(run(SearchMode.Wand) == run(SearchMode.Or), "boosted WAND != boosted exhaustive")
+    // boost=1 vs boost=3 on lang: the lang contribution must scale 3x exactly
+    def score(boost: Double): Map[Long, Double] =
+      eng.search("en", Seq("lang"), k = 60, boosts = Map("lang" -> boost))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s1 = score(1.0); val s3 = score(3.0)
+    assert(s1.nonEmpty && s1.keySet == s3.keySet)
+    s1.foreach { case (d, s) => assert(math.abs(s3(d) - 3.0 * s) < 1e-12) }
+  }
+
   test("5 miss queries return empty") {
     Seq("qqqqxxxx", "zzznotterm", "graftmissing", "nohit404", "absenttok")
       .foreach { t =>
