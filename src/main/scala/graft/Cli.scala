@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{
   * spark-submit --class graft.Cli app.jar build  <corpusParquet> <indexDir> [--resume]
-  * spark-submit --class graft.Cli app.jar search <indexDir> <k> <mode> <query...>
+  * spark-submit --class graft.Cli app.jar search <indexDir> <k> <mode> <query...> [--boost field=w]...
+  * spark-submit --class graft.Cli app.jar apps   <registryRoot>
   * spark-submit --class graft.Cli app.jar delete <indexDir> <docId,docId,...>
   * spark-submit --class graft.Cli app.jar compact <indexDir>
   * spark-submit --class graft.Cli app.jar fields <indexDir>
@@ -70,9 +71,18 @@ object Cli {
           case "wand" => SearchMode.Wand
           case _ => SearchMode.Or
         }
-        val query = args.drop(4).mkString(" ")
+        // --boost field=weight (repeatable) scales that field's idf
+        val boosts = args.sliding(2).collect {
+          case Array("--boost", kv) if kv.contains('=') =>
+            val Array(f, w) = kv.split("=", 2); f -> w.toDouble
+        }.toMap
+        val query = args.drop(4)
+          .filterNot(a => a == "--boost" || (a.contains('=') && boosts.keySet.exists(a.startsWith)))
+          .mkString(" ")
         val engine = new SearchEngine(new IndexStore(spark, indexDir, IndexConfig()))
-        engine.searchDocs(query, k = k, mode = mode).show(k, truncate = 80)
+        engine.searchDocs(query, k = k, mode = mode, boosts = boosts).show(k, truncate = 80)
+      case "apps" =>
+        new graft.index.AppRegistry(spark, args(1)).listApps().show(100)
       case "delete" =>
         val store = new IndexStore(spark, args(1), IndexConfig())
         store.delete(args(2).split(",").map(_.trim.toLong).toSeq)
