@@ -249,21 +249,32 @@ class SearchEngine(val store: IndexStore) {
     if (stats.isEmpty) return spark.emptyDataset[Hit].toDF()
     // small-query fast path (same bound as WAND): accumulate on the driver
     // from one pruned scan instead of decode+shuffle+agg jobs. Requires the
-    // driver-side tombstone map, so it is skipped past the tombstone bound.
-    if (stats.map(_.df).sum * 8 <= store.cfg.driverWandMaxBytes && tombstonesSmall)
+    // driver-side tombstone map, so it is skipped past the tombstone bound;
+    // AND tracking uses a 64-bit term mask, so wider AND queries distribute.
+    if (stats.map(_.df).sum * 8 <= store.cfg.driverWandMaxBytes && tombstonesSmall
+        && (mode != SearchMode.And || qTerms.size <= 64))
       return driverExhaustive(qTerms, matched, stats, k, mode)
+    // per-term bit for the AND intersection mask (≤ 64 query terms; wider
+    // AND queries fall back to countDistinct's two-phase plan below)
+    val bitOf: Map[String, Long] =
+      qTerms.zipWithIndex.map { case (t, i) => t -> (1L << (i % 64)) }.toMap
     val statsDF = broadcast(
-      stats.map(s => (s.field, s.term, s.idf, s.avgdl)).toDF("field", "term", "idf", "avgdl"))
+      stats.map(s => (s.field, s.term, s.idf, s.avgdl, bitOf.getOrElse(s.term, 0L)))
+        .toDF("field", "term", "idf", "avgdl", "tbit"))
     val rows = tombstoneFiltered(decode(matchedShards(matched)))
     val k1 = lit(bm25.k1); val b = lit(bm25.b)
     val contrib = rows.join(statsDF, Seq("field", "term"))
       .withColumn("part",
         $"idf" * ($"tf" * (k1 + lit(1.0))) /
           ($"tf" + k1 * (lit(1.0) - b + b * $"dl" / $"avgdl")))
-    // OR mode needs only the score sum; the distinct-term count (for the
-    // AND intersection filter) is aggregated only when AND asks for it —
-    // never pay a per-doc set buffer in the hottest aggregation for nothing.
+    // OR mode needs only the score sum. AND tracks the distinct-term set as
+    // a bit_or mask — one shuffle, unlike countDistinct, whose distinct
+    // rewrite inserts a second aggregate exchange on (doc_id, term).
     val filtered = mode match {
+      case SearchMode.And if qTerms.size <= 64 =>
+        contrib.groupBy($"doc_id")
+          .agg(sum($"part").as("score"), bit_or($"tbit").as("mask"))
+          .filter(bit_count($"mask") === lit(qTerms.size))
       case SearchMode.And =>
         contrib.groupBy($"doc_id")
           .agg(sum($"part").as("score"), countDistinct($"term").as("mterms"))
@@ -279,7 +290,13 @@ class SearchEngine(val store: IndexStore) {
     * pruned shard rows, decodes and accumulates per-doc scores in ascending
     * (field, term) order — the exact summation order of the oracle scorer,
     * so scores are bit-identical to it (the distributed path sums in
-    * shuffle order and matches within fp tolerance). */
+    * shuffle order and matches within fp tolerance).
+    *
+    * The inner loop is allocation-free: varints are decoded inline (no
+    * tuple materialization) into a primitive open-addressing accumulator
+    * ([[DriverScoreMap]]); AND-mode distinct-term tracking is a bitmask.
+    * The previous HashMap[Long, Double] + Set[String] version spent ~3x
+    * this path's runtime on boxing. */
   private def driverExhaustive(qTerms: Seq[String], matched: Seq[(String, String)],
                                stats: Seq[TermStat], k: Int,
                                mode: SearchMode): DataFrame = {
@@ -290,28 +307,50 @@ class SearchEngine(val store: IndexStore) {
       .as[(String, String, Int, Long, Array[Byte])]
       .collect()
       .sortBy { case (f, t, seg, shard, _) => (f, t, shard, seg) }
-    val score = new scala.collection.mutable.HashMap[Long, Double]()
-    val termsHit = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.Set[String]]()
+    val and = mode == SearchMode.And
+    val qBit: Map[String, Long] =
+      if (and) qTerms.zipWithIndex.map { case (t, i) => t -> (1L << i) }.toMap
+      else Map.empty
+    val acc = new DriverScoreMap(1 << 12)
     val k1 = bm25.k1; val b = bm25.b
+    val noTomb = tomb.isEmpty
     rows.foreach { case (f, t, seg, _, blob) =>
       statsMap.get((f, t)).foreach { st =>
-        PostingCodec.decodeAll(blob).foreach { case (d, tf, dl) =>
-          val deleted = tomb.get(d).exists(seg <= _)
-          if (!deleted) {
-            val part = st.idf * (tf * (k1 + 1.0)) /
-              (tf + k1 * (1.0 - b + b * dl.toDouble / st.avgdl))
-            score.update(d, score.getOrElse(d, 0.0) + part)
-            if (mode == SearchMode.And)
-              termsHit.getOrElseUpdate(d, scala.collection.mutable.Set.empty) += t
+        val idf = st.idf
+        val avgdl = st.avgdl
+        val bit = if (and) qBit(t) else 0L
+        var p = 0
+        var prevDoc = 0L
+        while (p < blob.length) {
+          // inline LEB128 × 3: docId delta, tf, dl
+          var v = 0L; var shift = 0; var by = 0
+          do { by = blob(p) & 0xff; v |= (by & 0x7fL) << shift; shift += 7; p += 1 }
+          while ((by & 0x80) != 0)
+          val d = prevDoc + v
+          prevDoc = d
+          v = 0L; shift = 0
+          do { by = blob(p) & 0xff; v |= (by & 0x7fL) << shift; shift += 7; p += 1 }
+          while ((by & 0x80) != 0)
+          val tf = v.toDouble
+          v = 0L; shift = 0
+          do { by = blob(p) & 0xff; v |= (by & 0x7fL) << shift; shift += 7; p += 1 }
+          while ((by & 0x80) != 0)
+          val dl = v.toDouble
+          if (noTomb || !tomb.get(d).exists(seg <= _)) {
+            // EXACT expression shape of OracleScorer / the Column plan —
+            // re-associating it would break bit-identity with both
+            val part = idf * (tf * (k1 + 1.0)) /
+              (tf + k1 * (1.0 - b + b * dl / avgdl))
+            acc.add(d, part, bit)
           }
         }
       }
     }
-    val hits = score.iterator
-      .filter { case (d, _) =>
-        mode != SearchMode.And || termsHit.get(d).exists(_.size == qTerms.size) }
-      .map { case (d, s) => (d, s) }.toSeq
-      .sortBy { case (d, s) => (-s, d) }.take(k)
-    hits.toDF("doc_id", "score")
+    val heap = new BoundedHitHeap(k)
+    val want = qTerms.size
+    acc.foreach { (d, s, m) =>
+      if (!and || java.lang.Long.bitCount(m) == want) heap.offer(d, s)
+    }
+    heap.result().toDF("doc_id", "score")
   }
 }

@@ -256,6 +256,7 @@ private[search] final class BoundedHitHeap(k: Int) {
   def threshold: Double = if (pq.size < k) 0.0 else pq.head._2
 
   def offer(docId: Long, score: Double): Unit = {
+    if (k <= 0) return
     if (pq.size < k) pq.enqueue((docId, score))
     else {
       val worst = pq.head

@@ -72,6 +72,15 @@ class PlanSpec extends AnyFunSuite {
       "OR mode must not aggregate a term set per doc:\n" + plan.take(3000))
   }
 
+  test("AND-mode aggregation is a single shuffle (bit_or mask, no distinct rewrite)") {
+    val df = engine.search("import class", Seq("content"), k = 10, mode = SearchMode.And)
+    val plan = physicalPlan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"AND plan must shuffle exactly once (got $exchanges):\n" + plan.take(3000))
+    assert(!plan.contains("count(distinct"), "AND must not use a distinct aggregate")
+  }
+
   test("whole-stage codegen covers the BM25 scoring expression (final AQE plan)") {
     val df = engine.search("import the", Seq("content"), k = 10)
     df.collect() // AQE finalizes the plan on execution
