@@ -119,5 +119,12 @@ final case class IndexConfig(
       * never collected: query paths switch to a distributed anti-join
       * against the tombstone table, so a bulk delete of 10^9 ids cannot OOM
       * the driver. 4M entries ≈ tens of MB on the driver — safe headroom. */
-    maxDriverTombstones: Long = 4L << 20
+    maxDriverTombstones: Long = 4L << 20,
+    /** LRU budget (bytes) for the driver-side posting-blob cache serving the
+      * driver fast paths — the bounded analogue of the reference's
+      * all-in-RAM index (its radix tree holds every posting resident,
+      * indexing.go:130-139). Version-token invalidated on any CRUD. 0
+      * disables. Only lists small enough for the fast paths are ever
+      * cached, so entries are ≤ driverWandMaxBytes each. */
+    driverBlobCacheBytes: Long = 64L << 20
 )

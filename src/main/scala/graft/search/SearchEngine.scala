@@ -161,9 +161,63 @@ class SearchEngine(val store: IndexStore) {
       tombstoneC = if (tombSmallC) store.tombstoneMap() else Map.empty
       postingsC = store.postings()
       termDfC = store.termDf()
+      blobCache.clear()
+      blobCacheSize = 0L
+      dfCache.clear()
       cacheToken = t
     }
   }
+
+  // ---------- driver posting-blob cache ----------
+  // Bounded LRU of collected shard rows per (field, term) — the driver fast
+  // paths' analogue of the reference's all-in-RAM radix tree (its postings
+  // are always resident, indexing.go:130-139). Only lists small enough for
+  // the fast paths ever reach here; a repeat query over cached terms runs
+  // ZERO Spark jobs. Invalidated wholesale when the store version changes.
+
+  private type ShardRow = (String, String, Int, Long, Array[Byte], Array[Byte])
+  private val blobCache =
+    new java.util.LinkedHashMap[(String, String), Array[ShardRow]](64, 0.75f, true)
+  private var blobCacheSize = 0L
+  private def rowBytes(r: ShardRow): Long =
+    (if (r._5 == null) 0 else r._5.length).toLong + r._6.length + 64
+
+  private def collectRows(pairs: Seq[(String, String)]): Array[ShardRow] =
+    matchedShards(pairs)
+      .select($"field", $"term", $"seg", $"shard", $"blocks", $"blob")
+      .as[ShardRow].collect()
+
+  /** Shard rows for the matched pairs, served from the LRU where possible.
+    * Rows already fetched this call are returned even if eviction removes
+    * them from the cache immediately (a single over-budget query must not
+    * lose its own data). */
+  private[search] def fetchShardRows(matched: Seq[(String, String)]): Array[ShardRow] =
+    synchronized {
+      refreshIfStale()
+      if (store.cfg.driverBlobCacheBytes <= 0) return collectRows(matched)
+      val out = scala.collection.mutable.ArrayBuffer.empty[ShardRow]
+      val miss = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      matched.foreach { key =>
+        val c = blobCache.get(key)
+        if (c != null) out ++= c else miss += key
+      }
+      if (miss.nonEmpty) {
+        val fetched = collectRows(miss.toSeq).groupBy(r => (r._1, r._2))
+        miss.foreach { key =>
+          val rows = fetched.getOrElse(key, Array.empty[ShardRow])
+          out ++= rows
+          blobCache.put(key, rows)
+          blobCacheSize += rows.iterator.map(rowBytes).sum
+        }
+        val it = blobCache.entrySet().iterator()
+        while (blobCacheSize > store.cfg.driverBlobCacheBytes && it.hasNext) {
+          val e = it.next()
+          blobCacheSize -= e.getValue.iterator.map(rowBytes).sum
+          it.remove()
+        }
+      }
+      out.toArray
+    }
 
   private[search] def cachedPostings(): DataFrame = { refreshIfStale(); postingsC }
   private[search] def cachedTermDf(): DataFrame = { refreshIfStale(); termDfC }
@@ -187,14 +241,10 @@ class SearchEngine(val store: IndexStore) {
                                 boosts: Map[String, Double] = Map.empty): Seq[TermStat] = {
     refreshIfStale()
     val fstats = fieldStatsC
-    val fieldsTouched = matched.map(_._1).distinct
-    val terms = matched.map(_._2).distinct
-    val dfMap = cachedTermDf()
-      .filter($"field".isInCollection(fieldsTouched) && $"term".isInCollection(terms))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val dfMap = fetchDfs(matched)
     matched.flatMap { case (f, t) =>
-      dfMap.get((f, t)).flatMap { df =>
-        fstats.get(f).collect { case (n, sumDl) if n > 0 && df > 0 =>
+      dfMap.get((f, t)).filter(_ > 0).flatMap { df =>
+        fstats.get(f).collect { case (n, sumDl) if n > 0 =>
           val boost = boosts.getOrElse(f, 1.0)
           val idf = boost * math.log(1.0 + (n - df + 0.5) / (df + 0.5))
           val avgdl = sumDl.toDouble / n
@@ -203,6 +253,38 @@ class SearchEngine(val store: IndexStore) {
       }
     }
   }
+
+  /** Per-(field, term) dfs with a version-invalidated LRU (8-byte values —
+    * the bound is entry count). Misses fetch in one pruned scan; absent
+    * pairs are negative-cached as 0 so repeated misses cost nothing. A warm
+    * repeat query thus needs no Spark job for its statistics. */
+  private val dfCache = new java.util.LinkedHashMap[(String, String), java.lang.Long](1024, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String), java.lang.Long]): Boolean = size() > (1 << 17)
+  }
+
+  private def fetchDfs(matched: Seq[(String, String)]): Map[(String, String), Long] =
+    synchronized {
+      val out = Map.newBuilder[(String, String), Long]
+      val miss = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      matched.distinct.foreach { key =>
+        val c = dfCache.get(key)
+        if (c != null) out += key -> c.longValue else miss += key
+      }
+      if (miss.nonEmpty) {
+        val fieldsTouched = miss.map(_._1).distinct.toSeq
+        val terms = miss.map(_._2).distinct.toSeq
+        val fetched = cachedTermDf()
+          .filter($"field".isInCollection(fieldsTouched) && $"term".isInCollection(terms))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        miss.foreach { key =>
+          val df = fetched.getOrElse(key, 0L)
+          dfCache.put(key, java.lang.Long.valueOf(df))
+          out += key -> df
+        }
+      }
+      out.result()
+    }
 
   private[search] def tombstoneFiltered(decoded: DataFrame): DataFrame = {
     refreshIfStale()
@@ -302,11 +384,8 @@ class SearchEngine(val store: IndexStore) {
                                mode: SearchMode): DataFrame = {
     val statsMap = stats.map(s => (s.field, s.term) -> s).toMap
     val tomb = cachedTombstones()
-    val rows = matchedShards(matched)
-      .select($"field", $"term", $"seg", $"shard", $"blob")
-      .as[(String, String, Int, Long, Array[Byte])]
-      .collect()
-      .sortBy { case (f, t, seg, shard, _) => (f, t, shard, seg) }
+    val rows = fetchShardRows(matched)
+      .sortBy { case (f, t, seg, shard, _, _) => (f, t, shard, seg) }
     val and = mode == SearchMode.And
     val qBit: Map[String, Long] =
       if (and) qTerms.zipWithIndex.map { case (t, i) => t -> (1L << i) }.toMap
@@ -314,7 +393,7 @@ class SearchEngine(val store: IndexStore) {
     val acc = new DriverScoreMap(1 << 12)
     val k1 = bm25.k1; val b = bm25.b
     val noTomb = tomb.isEmpty
-    rows.foreach { case (f, t, seg, _, blob) =>
+    rows.foreach { case (f, t, seg, _, _, blob) =>
       statsMap.get((f, t)).foreach { st =>
         val idf = st.idf
         val avgdl = st.avgdl
@@ -351,6 +430,7 @@ class SearchEngine(val store: IndexStore) {
     acc.foreach { (d, s, m) =>
       if (!and || java.lang.Long.bitCount(m) == want) heap.offer(d, s)
     }
+    // already (score desc, doc_id asc)-sorted and ≤ k: plain LocalRelation
     heap.result().toDF("doc_id", "score")
   }
 }

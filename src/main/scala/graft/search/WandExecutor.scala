@@ -46,10 +46,6 @@ class WandExecutor(engine: SearchEngine) {
     val statsMap = stats.map(s => (s.field, s.term) -> (s.idf, s.avgdl)).toMap
     val k1 = bm25.k1; val b = bm25.b; val kk = k
 
-    val shardRows = engine.matchedShards(matched)
-      .select($"field", $"term", $"seg", $"shard", $"blocks", $"blob")
-      .as[(String, String, Int, Long, Array[Byte], Array[Byte])]
-
     def runShardGroups(
         rows: Iterable[(String, String, Int, Long, Array[Byte], Array[Byte])],
         tomb: Map[Long, Int], heap: BoundedHitHeap): Unit =
@@ -61,18 +57,24 @@ class WandExecutor(engine: SearchEngine) {
                 new PostingCodec.Cursor(blob, PostingCodec.decodeBlocks(blocks)))
             }
           }
-          .sortBy(c => (c.field, c.term)).toArray
+          .sortBy(c => (c.field, c.term, c.seg)).toArray
         if (cursors.nonEmpty) WandExecutor.runWand(cursors, tomb, heap)
       }
 
     // ~8 bytes/posting is conservative for the varint triplets + block meta
     val estBytes = stats.map(_.df).sum * 8
     if (estBytes <= engine.store.cfg.driverWandMaxBytes) {
+      // blob rows come from the engine's LRU — a warm repeat query runs
+      // zero Spark jobs, mirroring the reference's resident-index serving.
+      // heap.result() is already (score desc, doc_id asc)-sorted and ≤ k,
+      // so the result is a plain LocalRelation (collect needs no job).
       val heap = new BoundedHitHeap(kk)
-      runShardGroups(shardRows.collect(), engine.cachedTombstones(), heap)
+      runShardGroups(engine.fetchShardRows(matched), engine.cachedTombstones(), heap)
       heap.result().toDF("doc_id", "score")
-        .orderBy(desc("score"), asc("doc_id")).limit(k)
     } else {
+      val shardRows = engine.matchedShards(matched)
+        .select($"field", $"term", $"seg", $"shard", $"blocks", $"blob")
+        .as[(String, String, Int, Long, Array[Byte], Array[Byte])]
       val statsB = spark.sparkContext.broadcast(statsMap)
       val tombB = spark.sparkContext.broadcast(engine.cachedTombstones())
       // Hash-exchange on shard colocates each docId range's term lists, then
@@ -97,7 +99,7 @@ class WandExecutor(engine: SearchEngine) {
                 new TermCursor(f, t, seg, idf, avgdl, k1, b,
                   new PostingCodec.Cursor(blob, PostingCodec.decodeBlocks(blocks)))
               }
-            }.toArray.sortBy(c => (c.field, c.term))
+            }.toArray.sortBy(c => (c.field, c.term, c.seg))
             if (cursors.nonEmpty) WandExecutor.runWand(cursors, tomb, heap)
             group.clear()
           }

@@ -161,6 +161,31 @@ class EdgeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](reg.app("../evil"))
   }
 
+  test("warm repeat query is served from driver caches with ZERO Spark jobs") {
+    val docs = CorpusGen.generate(spark, 60, seed = 9).collect().toSeq
+    val store = new IndexStore(spark, TestSpark.tempDir("hotcache"),
+      IndexConfig(shardSpan = 32, fields = Seq("content")))
+    store.createSegment(spark.createDataset(docs))
+    val eng = new SearchEngine(store)
+    def run(): Seq[(Long, Long)] =
+      eng.search("import the", Seq("content"), k = 10, mode = SearchMode.Wand)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    val sc = spark.sparkContext
+    sc.setJobGroup("warm-query", "warm repeat")
+    val second = run()
+    sc.clearJobGroup()
+    assert(second == first)
+    Thread.sleep(500) // listener bus drain
+    val jobs = sc.statusTracker.getJobIdsForGroup("warm-query")
+    assert(jobs.isEmpty, s"warm repeat query must run no Spark jobs, ran ${jobs.length}")
+    // CRUD invalidates the caches: the deleted doc disappears from results
+    store.delete(Seq(first.head._1))
+    val third = run()
+    assert(!third.map(_._1).contains(first.head._1), "cache must invalidate on delete")
+  }
+
   test("commit-field exact lookup (40-hex unique terms)") {
     val docs = CorpusGen.generate(spark, 50, seed = 12).collect().toSeq
     val store = new IndexStore(spark, TestSpark.tempDir("commit"), IndexConfig(shardSpan = 64))
