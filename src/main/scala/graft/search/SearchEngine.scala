@@ -53,14 +53,15 @@ class SearchEngine(val store: IndexStore) {
   /** Expands a `beginsWith` prefix to concrete index terms via a range scan
     * on the term-sorted df table — the analogue of the reference's radix
     * `WalkPrefix` with its 100-subtree cap (indexing.go:773-785). */
-  def expandPrefix(prefix: String, fields: Seq[String], cap: Int = 100): Seq[(String, String)] = {
-    val lo = prefix.toLowerCase
-    val hi = lo.init + (lo.last + 1).toChar
-    cachedTermDf()
-      .filter($"field".isInCollection(fields) && $"term" >= lo && $"term" < hi)
-      .select($"field", $"term").orderBy($"term", $"field").limit(cap)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-  }
+  def expandPrefix(prefix: String, fields: Seq[String], cap: Int = 100): Seq[(String, String)] =
+    cachedExpansion("p", prefix, fields, cap) {
+      val lo = prefix.toLowerCase
+      val hi = lo.init + (lo.last + 1).toChar
+      cachedTermDf()
+        .filter($"field".isInCollection(fields) && $"term" >= lo && $"term" < hi)
+        .select($"field", $"term").orderBy($"term", $"field").limit(cap)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    }
 
   /** Fuzzy term expansion (reference FuzzySearch, indexing.go:689-709):
     * walk the dictionary subtree of the query's first character and keep
@@ -73,16 +74,40 @@ class SearchEngine(val store: IndexStore) {
   def expandFuzzy(key: String, fields: Seq[String], cap: Int = 100): Seq[(String, String)] = {
     val k = key.toLowerCase
     if (k.isEmpty) return Seq.empty
-    val lo = k.substring(0, 1)
-    val hi = (k.charAt(0) + 1).toChar.toString
-    val containsAll = k.distinct.map(c => $"term".contains(c.toString))
-      .reduce(_ && _)
-    cachedTermDf()
-      .filter($"field".isInCollection(fields) && $"term" >= lo && $"term" < hi)
-      .filter(containsAll)
-      .select($"field", $"term")
-      .orderBy($"term", $"field").limit(cap)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    cachedExpansion("f", k, fields, cap) {
+      val lo = k.substring(0, 1)
+      val hi = (k.charAt(0) + 1).toChar.toString
+      val containsAll = k.distinct.map(c => $"term".contains(c.toString))
+        .reduce(_ && _)
+      cachedTermDf()
+        .filter($"field".isInCollection(fields) && $"term" >= lo && $"term" < hi)
+        .filter(containsAll)
+        .select($"field", $"term")
+        .orderBy($"term", $"field").limit(cap)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    }
+  }
+
+  /** Version-invalidated LRU for prefix/fuzzy expansions (≤ cap pairs per
+    * entry) — warm expanding queries need no dictionary-scan job. */
+  private val expandCache =
+    new java.util.LinkedHashMap[(String, String, Seq[String], Int), Seq[(String, String)]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Seq[String], Int), Seq[(String, String)]]): Boolean =
+        size() > 4096
+    }
+
+  private def cachedExpansion(kind: String, key: String, fields: Seq[String], cap: Int)(
+      compute: => Seq[(String, String)]): Seq[(String, String)] = synchronized {
+    refreshIfStale()
+    val ck = (kind, key, fields, cap)
+    val c = expandCache.get(ck)
+    if (c != null) c
+    else {
+      val v = compute
+      expandCache.put(ck, v)
+      v
+    }
   }
 
   /** Fuzzy search: expand each query token with [[expandFuzzy]], then score
@@ -164,6 +189,7 @@ class SearchEngine(val store: IndexStore) {
       blobCache.clear()
       blobCacheSize = 0L
       dfCache.clear()
+      expandCache.clear()
       cacheToken = t
     }
   }

@@ -41,6 +41,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("plan audit: no all-pairs join shape in any bucketed dedup/ANN plan") {
+    // The 100 TB claim rests on every candidate join being keyed on a
+    // bounded bucket. A Cartesian/broadcast-nested-loop join in the plan
+    // means an all-pairs blow-up; only the explicitly-exact oracle modes
+    // may contain one.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plans = Seq(
+      "ngram_jaccard" -> Dedup.ngramJaccardPairs(nearDup, minJaccard = 0.5),
+      "minhash_lsh" -> Dedup.minHashLshPairs(nearDup, numHashes = 64, bands = 16),
+      "simhash" -> Dedup.simHashPairs(nearDup, maxDist = 3),
+      "ann_lsh" -> Similarity.lshTopK(emb.filter($"vec_id" < 4), emb, k = 5, nBits = 16, bands = 8),
+      "ann_ivf" -> Similarity.ivfTopK(emb.filter($"vec_id" < 4), emb, k = 5, nLists = 8, nProbe = 2),
+      "emb_dup_lsh" -> Similarity.embeddingDupPairs(emb, tau = 0.95, exact = false))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a Cartesian product:\n" + plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains a nested-loop join:\n" + plan.take(2000))
+    }
+  }
+
   test("hot boilerplate shingle is frequency-capped out of candidate generation") {
     // 40 docs sharing one boilerplate header + unique tails: without the cap
     // the header shingles alone produce C(40,2)=780 candidate pairs
