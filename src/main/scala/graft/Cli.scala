@@ -71,16 +71,25 @@ object Cli {
           case "wand" => SearchMode.Wand
           case _ => SearchMode.Or
         }
-        // --boost field=weight (repeatable) scales that field's idf
-        val boosts = args.sliding(2).collect {
-          case Array("--boost", kv) if kv.contains('=') =>
-            val Array(f, w) = kv.split("=", 2); f -> w.toDouble
-        }.toMap
-        val query = args.drop(4)
-          .filterNot(a => a == "--boost" || (a.contains('=') && boosts.keySet.exists(a.startsWith)))
-          .mkString(" ")
+        // --boost field=weight (repeatable) scales that field's idf.
+        // Consumed positionally so query tokens containing '=' survive.
+        val boosts = scala.collection.mutable.Map.empty[String, Double]
+        val queryToks = scala.collection.mutable.ArrayBuffer.empty[String]
+        val rest = args.drop(4)
+        var ai = 0
+        while (ai < rest.length) {
+          if (rest(ai) == "--boost" && ai + 1 < rest.length) {
+            val kv = rest(ai + 1).split("=", 2)
+            require(kv.length == 2 && kv(1).nonEmpty &&
+              scala.util.Try(kv(1).toDouble).isSuccess,
+              s"--boost expects field=weight, got: ${rest(ai + 1)}")
+            boosts(kv(0)) = kv(1).toDouble
+            ai += 2
+          } else { queryToks += rest(ai); ai += 1 }
+        }
         val engine = new SearchEngine(new IndexStore(spark, indexDir, IndexConfig()))
-        engine.searchDocs(query, k = k, mode = mode, boosts = boosts).show(k, truncate = 80)
+        engine.searchDocs(queryToks.mkString(" "), k = k, mode = mode,
+          boosts = boosts.toMap).show(k, truncate = 80)
       case "apps" =>
         new graft.index.AppRegistry(spark, args(1)).listApps().show(100)
       case "delete" =>

@@ -57,13 +57,18 @@ object PipelineQueries {
        |  WHERE t <> ''
        |)""".stripMargin
 
-  /** SQL twin of Dedup.shingles (k=3) + pairwise Jaccard ≥ minJ. */
-  private def jaccardSql(docs: String, minJ: Double): String =
+  /** SQL twin of Dedup.shingles (k=3, incl. the DefaultMaxShingleDf hot-
+    * shingle cap, so the oracle stays a true twin on ANY corpus) + pairwise
+    * Jaccard ≥ minJ. */
+  private def jaccardSql(docs: String, minJ: Double,
+                         maxShingleDf: Long = Dedup.DefaultMaxShingleDf): String =
     s"""WITH docs AS ($docs),
        |t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts FROM docs),
        |idx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
        |        FROM t WHERE len(ts) >= 3),
-       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM idx),
+       |sh0 AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM idx),
+       |sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (
+       |         SELECT s FROM sh0 GROUP BY s HAVING count(*) > $maxShingleDf)),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -25,11 +25,17 @@ object PortableHash {
       lit(seed),
       (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(P)))
 
-  /** Scala twin (property-tested equal to the Column form). */
+  /** Scala twin (property-tested equal to the Column form). Iterates CODE
+    * POINTS, not UTF-16 units — Spark's `ascii` and DuckDB's `unicode` are
+    * both code-point functions, so surrogate pairs must hash as one step. */
   def hash(s: String, seed: Long): Long = {
     var h = seed
     var i = 0
-    while (i < s.length) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
     h
   }
 

@@ -21,9 +21,10 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(rootDir).getFileSystem(hconf)
 
-  /** App names must be path-safe (one directory level). */
+  /** App names must be path-safe (one directory level; "." and ".." would
+    * escape the namespace — dropApp("..") must never delete the parent). */
   private def validate(name: String): String = {
-    require(name.nonEmpty && name.forall(c =>
+    require(name.nonEmpty && name != "." && name != ".." && name.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"invalid app name: $name")
     name

@@ -396,6 +396,14 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
   def compact(): Unit = {
     val compactPath = new Path(baseDir + ".compact")
     val oldPath = new Path(baseDir + ".old")
+    // Recovery from a crash BETWEEN the two renames of a previous compact:
+    // baseDir is missing and `.old` holds the original store — restore it
+    // before anything else. Deleting `.old` while baseDir is absent would
+    // destroy the only surviving copy.
+    if (!fs.exists(new Path(baseDir)) && fs.exists(oldPath)) {
+      if (!fs.rename(oldPath, new Path(baseDir)))
+        sys.error(s"compact: recovery rename $oldPath -> $baseDir failed")
+    }
     if (fs.exists(compactPath)) fs.delete(compactPath, true)
     if (fs.exists(oldPath)) fs.delete(oldPath, true)
     val live = liveCorpus().as[CorpusDoc]

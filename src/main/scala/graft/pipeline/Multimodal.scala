@@ -93,9 +93,12 @@ object Multimodal {
       var o = 12
       while (o + 8 <= b.length) {
         val id = ascii(b, o, 4)
-        val size = le32(b, o + 4)
+        val size = le32(b, o + 4) // unsigned 32-bit
         if (id == "fmt " && o + 16 <= b.length)
           return Some((le16(b, o + 10), le32(b, o + 12)))
+        // corrupt chunk size (negative after cast / past the payload) must
+        // reject the container, not crash the task
+        if (size > b.length.toLong) return None
         o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
       }
       None

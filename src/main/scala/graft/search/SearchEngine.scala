@@ -130,13 +130,25 @@ class SearchEngine(val store: IndexStore) {
              boosts: Map[String, Double] = Map.empty): DataFrame = {
     val qTerms = Analyzer.tokenize(query).distinct.sorted.toSeq
     if (qTerms.isEmpty) return spark.emptyDataset[Hit].toDF()
+    require(!(mode == SearchMode.And && beginsWith && qTerms.size > 64),
+      "AND + prefix supports at most 64 query terms")
     // .distinct: overlapping prefix expansions (e.g. "cl cla" both matching
     // "class") must contribute one (field, term) pair, not two — a duplicate
     // would double-count that term's BM25 contribution in the distributed
-    // join path.
+    // join path. Each pair keeps the bit(s) of the QUERY term(s) it expands
+    // from, so AND semantics stay "every query term has ≥1 matched
+    // expansion" under prefix expansion.
+    val qIdx: Map[String, Int] = qTerms.zipWithIndex.toMap
+    val matchedSrc: Seq[(String, String, String)] =
+      if (beginsWith)
+        qTerms.flatMap(t => expandPrefix(t, fields).map { case (f, mt) => (f, mt, t) })
+      else fields.flatMap(f => qTerms.map(t => (f, t, t)))
     val matched: Seq[(String, String)] =
-      if (beginsWith) qTerms.flatMap(t => expandPrefix(t, fields)).distinct
-      else fields.flatMap(f => qTerms.map(t => (f, t)))
+      matchedSrc.map { case (f, t, _) => (f, t) }.distinct
+    val srcBit: Map[(String, String), Long] =
+      matchedSrc.groupBy { case (f, t, _) => (f, t) }
+        .map { case (key, vs) =>
+          key -> vs.map(v => 1L << (qIdx(v._3) % 64)).reduce(_ | _) }
     mode match {
       // WAND needs a per-executor tombstone lookup; past the driver-map
       // bound its pruning advantage is gone anyway (upper bounds ignore
@@ -145,9 +157,9 @@ class SearchEngine(val store: IndexStore) {
       case SearchMode.Wand if tombstonesSmall =>
         new WandExecutor(this).search(qTerms, matched, fields, k, boosts)
       case SearchMode.Wand =>
-        exhaustive(qTerms, matched, fields, k, SearchMode.Or, boosts)
+        exhaustive(qTerms, matched, fields, k, SearchMode.Or, boosts, srcBit)
       case _ =>
-        exhaustive(qTerms, matched, fields, k, mode, boosts)
+        exhaustive(qTerms, matched, fields, k, mode, boosts, srcBit)
     }
   }
 
@@ -217,9 +229,12 @@ class SearchEngine(val store: IndexStore) {
     * Rows already fetched this call are returned even if eviction removes
     * them from the cache immediately (a single over-budget query must not
     * lose its own data). */
-  private[search] def fetchShardRows(matched: Seq[(String, String)]): Array[ShardRow] =
+  private[search] def fetchShardRows(matched0: Seq[(String, String)]): Array[ShardRow] =
     synchronized {
       refreshIfStale()
+      // defensively dedupe: a duplicated pair would double-score its term
+      // (and double-count blobCacheSize)
+      val matched = matched0.distinct
       if (store.cfg.driverBlobCacheBytes <= 0) return collectRows(matched)
       val out = scala.collection.mutable.ArrayBuffer.empty[ShardRow]
       val miss = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -263,9 +278,10 @@ class SearchEngine(val store: IndexStore) {
     * accumulation, WAND global/block upper bounds and contributions) is
     * linear in idf, so one multiplication boosts them all consistently —
     * WAND pruning stays safe because bounds scale with contributions. */
-  private[search] def termStats(matched: Seq[(String, String)],
+  private[search] def termStats(matched0: Seq[(String, String)],
                                 boosts: Map[String, Double] = Map.empty): Seq[TermStat] = {
     refreshIfStale()
+    val matched = matched0.distinct // one stat row per pair, always
     val fstats = fieldStatsC
     val dfMap = fetchDfs(matched)
     matched.flatMap { case (f, t) =>
@@ -351,23 +367,30 @@ class SearchEngine(val store: IndexStore) {
 
   private def exhaustive(qTerms: Seq[String], matched: Seq[(String, String)],
                          fields: Seq[String], k: Int, mode: SearchMode,
-                         boosts: Map[String, Double] = Map.empty): DataFrame = {
+                         boosts: Map[String, Double] = Map.empty,
+                         srcBit: Map[(String, String), Long] = Map.empty): DataFrame = {
     if (matched.isEmpty) return spark.emptyDataset[Hit].toDF()
     val stats = termStats(matched, boosts)
     if (stats.isEmpty) return spark.emptyDataset[Hit].toDF()
+    // AND intersection mask: bit(s) of the query term(s) each matched pair
+    // expands from — identity when no expansion happened
+    val bitOf: Map[(String, String), Long] =
+      if (mode != SearchMode.And) Map.empty
+      else if (srcBit.nonEmpty) srcBit
+      else {
+        val qIdx = qTerms.zipWithIndex.toMap
+        matched.map(p => p -> (1L << (qIdx.getOrElse(p._2, 0) % 64))).toMap
+      }
     // small-query fast path (same bound as WAND): accumulate on the driver
     // from one pruned scan instead of decode+shuffle+agg jobs. Requires the
     // driver-side tombstone map, so it is skipped past the tombstone bound;
     // AND tracking uses a 64-bit term mask, so wider AND queries distribute.
     if (stats.map(_.df).sum * 8 <= store.cfg.driverWandMaxBytes && tombstonesSmall
         && (mode != SearchMode.And || qTerms.size <= 64))
-      return driverExhaustive(qTerms, matched, stats, k, mode)
-    // per-term bit for the AND intersection mask (≤ 64 query terms; wider
-    // AND queries fall back to countDistinct's two-phase plan below)
-    val bitOf: Map[String, Long] =
-      qTerms.zipWithIndex.map { case (t, i) => t -> (1L << (i % 64)) }.toMap
+      return driverExhaustive(qTerms, matched, stats, k, mode, bitOf)
     val statsDF = broadcast(
-      stats.map(s => (s.field, s.term, s.idf, s.avgdl, bitOf.getOrElse(s.term, 0L)))
+      stats.map(s => (s.field, s.term, s.idf, s.avgdl,
+          bitOf.getOrElse((s.field, s.term), 0L)))
         .toDF("field", "term", "idf", "avgdl", "tbit"))
     val rows = tombstoneFiltered(decode(matchedShards(matched)))
     val k1 = lit(bm25.k1); val b = lit(bm25.b)
@@ -406,16 +429,13 @@ class SearchEngine(val store: IndexStore) {
     * The previous HashMap[Long, Double] + Set[String] version spent ~3x
     * this path's runtime on boxing. */
   private def driverExhaustive(qTerms: Seq[String], matched: Seq[(String, String)],
-                               stats: Seq[TermStat], k: Int,
-                               mode: SearchMode): DataFrame = {
+                               stats: Seq[TermStat], k: Int, mode: SearchMode,
+                               bitOf: Map[(String, String), Long]): DataFrame = {
     val statsMap = stats.map(s => (s.field, s.term) -> s).toMap
     val tomb = cachedTombstones()
     val rows = fetchShardRows(matched)
       .sortBy { case (f, t, seg, shard, _, _) => (f, t, shard, seg) }
     val and = mode == SearchMode.And
-    val qBit: Map[String, Long] =
-      if (and) qTerms.zipWithIndex.map { case (t, i) => t -> (1L << i) }.toMap
-      else Map.empty
     val acc = new DriverScoreMap(1 << 12)
     val k1 = bm25.k1; val b = bm25.b
     val noTomb = tomb.isEmpty
@@ -423,7 +443,7 @@ class SearchEngine(val store: IndexStore) {
       statsMap.get((f, t)).foreach { st =>
         val idf = st.idf
         val avgdl = st.avgdl
-        val bit = if (and) qBit(t) else 0L
+        val bit = if (and) bitOf.getOrElse((f, t), 0L) else 0L
         var p = 0
         var prevDoc = 0L
         while (p < blob.length) {

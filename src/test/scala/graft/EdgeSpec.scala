@@ -140,6 +140,29 @@ class EdgeSpec extends AnyFunSuite {
     assert(hits.sameElements(Array(9999L)), "resumed segment must index the new corpus")
   }
 
+  test("compact recovers from a crash between its two renames") {
+    val docs = CorpusGen.generate(spark, 30, seed = 8).collect().toSeq
+    val cfg = IndexConfig(shardSpan = 32, fields = Seq("content"))
+    val store = new IndexStore(spark, TestSpark.tempDir("comprec"), cfg)
+    store.createSegment(spark.createDataset(docs))
+    store.delete(Seq(3L))
+    val expected = new SearchEngine(store).search("import the", Seq("content"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    // simulate the crash window: baseDir moved aside, new store not yet in place
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store.baseDir),
+      new org.apache.hadoop.fs.Path(store.baseDir + ".old")))
+    // re-running compact must restore the store first, then compact it
+    val reopened = new IndexStore(spark, store.baseDir, cfg)
+    reopened.compact()
+    assert(reopened.segments.size == 1)
+    assert(reopened.tombstoneCount() == 0)
+    val after = new SearchEngine(reopened).search("import the", Seq("content"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == expected, "recovered+compacted store must serve identical results")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store.baseDir + ".old")))
+  }
+
   test("app registry: per-app stores, listApps live counts, dropApp") {
     val reg = new graft.index.AppRegistry(spark, TestSpark.tempDir("apps"),
       IndexConfig(shardSpan = 64, fields = Seq("content")))
@@ -159,6 +182,8 @@ class EdgeSpec extends AnyFunSuite {
     reg.dropApp("alpha")
     assert(reg.appNames() == Seq("beta"))
     intercept[IllegalArgumentException](reg.app("../evil"))
+    intercept[IllegalArgumentException](reg.app(".."))
+    intercept[IllegalArgumentException](reg.dropApp("."))
   }
 
   test("warm repeat query is served from driver caches with ZERO Spark jobs") {

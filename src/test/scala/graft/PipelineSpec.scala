@@ -185,7 +185,9 @@ class PipelineSpec extends AnyFunSuite {
     import graft.functions.PortableHash
     // pinned against DuckDB: list_reduce(list_prepend(1, codes('spark')), ...)
     assert(PortableHash.hash("spark", 1L) == 138267516L)
-    val words = Seq("spark", "Join", "a", "xyz123", "", "merge sort")
+    // incl. a supplementary-plane char: all three forms hash CODE POINTS
+    val words = Seq("spark", "Join", "a", "xyz123", "", "merge sort",
+      "café", "😀ok")
     val got = words.toDF("w")
       .select(PortableHash.hash(col("w"), 7L)).collect().map(_.getLong(0))
     assert(got.toSeq == words.map(PortableHash.hash(_, 7L)))
@@ -223,6 +225,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaCodec.decode(1L, MediaCodec.pngBytes(9, 9).take(10)).format == "stub")
     assert(MediaCodec.parseWav("RIFFxxxxWAVE".getBytes).isEmpty) // no fmt chunk
     assert(MediaCodec.decode(1L, null).format == "stub")
+    // corrupt (huge/negative-after-cast) chunk size must reject, not crash
+    val corrupt = "RIFFxxxxWAVE".getBytes ++
+      "JUNK".getBytes ++ Array[Byte](-1, -1, -1, -1) ++ Array[Byte](0, 0, 0, 0)
+    assert(MediaCodec.parseWav(corrupt).isEmpty)
+    assert(MediaCodec.decode(1L, corrupt).format == "stub")
     // distributed plumbing: typed mapPartitions over binary payloads
     val payloads = Seq(
       (0L, MediaCodec.pngBytes(10, 20)), (1L, MediaCodec.wavBytes(4, 16000)))

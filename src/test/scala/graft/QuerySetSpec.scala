@@ -147,6 +147,27 @@ class QuerySetSpec extends AnyFunSuite {
     s1.foreach { case (d, s) => assert(math.abs(s3(d) - 3.0 * s) < 1e-12) }
   }
 
+  test("AND + prefix: every query term needs >=1 matched expansion (both paths)") {
+    import spark.implicits._
+    val docs = Seq(
+      CorpusDoc(1L, "r", "p1", "a" * 40, "en", "clap banana"),   // cl? yes, ba? yes
+      CorpusDoc(2L, "r", "p2", "b" * 40, "en", "class clone"),   // cl? yes, ba? NO
+      CorpusDoc(3L, "r", "p3", "c" * 40, "en", "banana split"),  // cl? NO
+      CorpusDoc(4L, "r", "p4", "d" * 40, "en", "clip bar clap")) // both
+    val store = new IndexStore(spark, TestSpark.tempDir("andpre"),
+      IndexConfig(shardSpan = 16, fields = Seq("content")))
+    store.createSegment(spark.createDataset(docs))
+    def hits(cfg: IndexConfig): Seq[Long] = {
+      val st = new IndexStore(spark, store.baseDir, cfg)
+      new SearchEngine(st).search("cl ba", Seq("content"), beginsWith = true,
+        k = 10, mode = SearchMode.And).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val driver = hits(IndexConfig(shardSpan = 16, fields = Seq("content")))
+    val dist = hits(IndexConfig(shardSpan = 16, fields = Seq("content"), driverWandMaxBytes = 0))
+    assert(driver == Seq(1L, 4L), s"driver AND+prefix got $driver")
+    assert(dist == driver, "distributed AND+prefix must equal the driver path")
+  }
+
   test("5 miss queries return empty") {
     Seq("qqqqxxxx", "zzznotterm", "graftmissing", "nohit404", "absenttok")
       .foreach { t =>
