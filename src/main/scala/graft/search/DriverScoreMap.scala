@@ -9,7 +9,7 @@ package graft.search
   * 0.7 load. `mask` tracks which query-term bits contributed (AND mode,
   * ≤ 64 terms — wider AND queries use the distributed plan instead).
   */
-private[search] final class DriverScoreMap(initialCapacity: Int = 1 << 12) {
+private[graft] final class DriverScoreMap(initialCapacity: Int = 1 << 12) {
   private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
   private var keys = Array.fill[Long](cap)(-1L)
   private var scores = new Array[Double](cap)

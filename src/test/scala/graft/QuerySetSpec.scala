@@ -147,6 +147,32 @@ class QuerySetSpec extends AnyFunSuite {
     s1.foreach { case (d, s) => assert(math.abs(s3(d) - 3.0 * s) < 1e-12) }
   }
 
+  test("DriverScoreMap == reference HashMap under random collisions and growth") {
+    val rnd = new scala.util.Random(4242)
+    (0 until 5).foreach { _ =>
+      val m = new graft.search.DriverScoreMap(16) // tiny: force many growths
+      val ref = scala.collection.mutable.HashMap.empty[Long, (Double, Long)]
+      (0 until 20000).foreach { _ =>
+        // adversarial keys: sequential ranges + sparse larges
+        val key = if (rnd.nextBoolean()) rnd.nextInt(3000).toLong
+                  else rnd.nextLong().abs
+        val delta = rnd.nextDouble()
+        val bit = 1L << rnd.nextInt(64)
+        m.add(key, delta, bit)
+        val (s0, b0) = ref.getOrElse(key, (0.0, 0L))
+        ref(key) = (s0 + delta, b0 | bit)
+      }
+      assert(m.size == ref.size)
+      var seen = 0
+      m.foreach { (k, s, b) =>
+        seen += 1
+        val (rs, rb) = ref(k)
+        assert(s == rs && b == rb, s"entry mismatch at $k")
+      }
+      assert(seen == ref.size)
+    }
+  }
+
   test("AND + prefix: every query term needs >=1 matched expansion (both paths)") {
     import spark.implicits._
     val docs = Seq(
