@@ -59,8 +59,14 @@ object Cli {
         // createSegment targets max-committed-id + 1, which is exactly the
         // segment a crashed build was producing (a crashed segment never
         // reaches the manifest, so its id stays max+1 and its partial stage
-        // done-markers are reused when resume = true).
-        val segId = store.createSegment(corpus, resume)
+        // done-markers are reused when resume = true). A retry AFTER the
+        // manifest already committed must be a no-op, not a duplicate
+        // segment: lastSegmentMatches compares per-doc sha fingerprints.
+        val segId =
+          if (resume && store.lastSegmentMatches(corpus)) {
+            println("[graft] resume: last committed segment already contains this corpus; nothing to do")
+            store.segments.map(_.id).max
+          } else store.createSegment(corpus, resume)
         val sec = (System.nanoTime() - t0) / 1e9
         val n = store.segments.find(_.id == segId).map(_.numDocs).getOrElse(0L)
         println(f"[graft] built seg-$segId: $n docs in $sec%.1f s (${n / sec}%.0f files/sec)")

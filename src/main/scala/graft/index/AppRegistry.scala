@@ -22,10 +22,14 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
   private def fs: FileSystem = new Path(rootDir).getFileSystem(hconf)
 
   /** App names must be path-safe (one directory level; "." and ".." would
-    * escape the namespace — dropApp("..") must never delete the parent). */
+    * escape the namespace — dropApp("..") must never delete the parent) and
+    * must not end in IndexStore.compact()'s reserved working suffixes: an
+    * app named "x.compact" would be destroyed by compacting app "x", and a
+    * crashed compact's "x.old" must never surface as a phantom app. */
   private def validate(name: String): String = {
-    require(name.nonEmpty && name != "." && name != ".." && name.forall(c =>
-      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+    require(name.nonEmpty && name != "." && name != ".." &&
+      !name.endsWith(".compact") && !name.endsWith(".old") &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"invalid app name: $name")
     name
   }
@@ -37,12 +41,15 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
   def exists(name: String): Boolean =
     fs.exists(new Path(s"$rootDir/${validate(name)}/manifest.json"))
 
-  /** Registered app names = child directories with a committed manifest. */
+  /** Registered app names = child directories with a committed manifest,
+    * excluding compact()'s reserved working directories. */
   def appNames(): Seq[String] = {
     val root = new Path(rootDir)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(st => st.isDirectory &&
+        !st.getPath.getName.endsWith(".compact") &&
+        !st.getPath.getName.endsWith(".old") &&
         fs.exists(new Path(st.getPath, "manifest.json")))
       .map(_.getPath.getName)
       .sorted

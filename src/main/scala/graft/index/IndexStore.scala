@@ -333,6 +333,24 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
       .select(col("field"), col("n_docs"), col("n_terms")).orderBy("field")
   }
 
+  /** True when the LAST committed segment indexes exactly this corpus
+    * (row count + order-insensitive per-doc sha fingerprint) — lets a build
+    * retry that lands after the manifest commit become a no-op instead of a
+    * duplicate segment (two tiny aggregation jobs). */
+  def lastSegmentMatches(corpus: Dataset[CorpusDoc]): Boolean =
+    segments.maxByOption(_.id).exists { last =>
+      def fingerprint(df: DataFrame): (Long, Long) = {
+        // bit_xor: order-insensitive and overflow-free under ANSI mode
+        val r = df.agg(count(lit(1)),
+          bit_xor(xxhash64(concat(col("doc_id").cast("string"), col("content_sha"))))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      last.numDocs > 0 && {
+        val stored = fingerprint(spark.read.parquet(p(s"seg-${last.id}", "docstats").toString))
+        stored == fingerprint(IndexBuilder.docStats(corpus))
+      }
+    }
+
   // ---------- CRUD ----------
 
   /** Append a batch of new documents (new doc_ids) as a fresh segment. */

@@ -98,14 +98,16 @@ class SearchEngine(val store: IndexStore) {
     }
 
   private def cachedExpansion(kind: String, key: String, fields: Seq[String], cap: Int)(
-      compute: => Seq[(String, String)]): Seq[(String, String)] = synchronized {
+      compute: => Seq[(String, String)]): Seq[(String, String)] = {
     refreshIfStale()
     val ck = (kind, key, fields, cap)
-    val c = expandCache.get(ck)
-    if (c != null) c
+    val (tok, cached) = synchronized { (cacheToken, expandCache.get(ck)) }
+    if (cached != null) cached
     else {
-      val v = compute
-      expandCache.put(ck, v)
+      val v = compute // dictionary scan outside the monitor
+      synchronized {
+        if (cacheToken == tok && expandCache.get(ck) == null) expandCache.put(ck, v)
+      }
       v
     }
   }
@@ -132,6 +134,9 @@ class SearchEngine(val store: IndexStore) {
     if (qTerms.isEmpty) return spark.emptyDataset[Hit].toDF()
     require(!(mode == SearchMode.And && beginsWith && qTerms.size > 64),
       "AND + prefix supports at most 64 query terms")
+    // a negative boost would flip idf's sign and invert WAND's upper bounds
+    // into lower bounds, silently breaking pruning
+    require(boosts.values.forall(_ >= 0.0), s"boosts must be >= 0: $boosts")
     // .distinct: overlapping prefix expansions (e.g. "cl cla" both matching
     // "class") must contribute one (field, term) pair, not two — a duplicate
     // would double-count that term's BM25 contribution in the distributed
@@ -226,29 +231,36 @@ class SearchEngine(val store: IndexStore) {
       .as[ShardRow].collect()
 
   /** Shard rows for the matched pairs, served from the LRU where possible.
-    * Rows already fetched this call are returned even if eviction removes
-    * them from the cache immediately (a single over-budget query must not
-    * lose its own data). */
-  private[search] def fetchShardRows(matched0: Seq[(String, String)]): Array[ShardRow] =
-    synchronized {
-      refreshIfStale()
-      // defensively dedupe: a duplicated pair would double-score its term
-      // (and double-count blobCacheSize)
-      val matched = matched0.distinct
-      if (store.cfg.driverBlobCacheBytes <= 0) return collectRows(matched)
-      val out = scala.collection.mutable.ArrayBuffer.empty[ShardRow]
-      val miss = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    * Rows fetched by this call are returned even if eviction (or a version
+    * change) keeps them out of the cache — a query never loses its own
+    * data. The Spark collect for misses runs OUTSIDE the engine monitor so
+    * one cold query cannot serialize every other query on this engine;
+    * inserts re-check the version token (never poison a newer cache). */
+  private[search] def fetchShardRows(matched0: Seq[(String, String)]): Array[ShardRow] = {
+    // dedupe: a duplicated pair would double-score its term
+    val matched = matched0.distinct
+    refreshIfStale()
+    if (store.cfg.driverBlobCacheBytes <= 0) return collectRows(matched)
+    val (tok, hits, missKeys) = synchronized {
+      val h = Map.newBuilder[(String, String), Array[ShardRow]]
+      val m = Seq.newBuilder[(String, String)]
       matched.foreach { key =>
         val c = blobCache.get(key)
-        if (c != null) out ++= c else miss += key
+        if (c != null) h += key -> c else m += key
       }
-      if (miss.nonEmpty) {
-        val fetched = collectRows(miss.toSeq).groupBy(r => (r._1, r._2))
-        miss.foreach { key =>
-          val rows = fetched.getOrElse(key, Array.empty[ShardRow])
-          out ++= rows
-          blobCache.put(key, rows)
-          blobCacheSize += rows.iterator.map(rowBytes).sum
+      (cacheToken, h.result(), m.result())
+    }
+    val fetched: Map[(String, String), Array[ShardRow]] =
+      if (missKeys.isEmpty) Map.empty
+      else collectRows(missKeys).groupBy(r => (r._1, r._2))
+    if (missKeys.nonEmpty) synchronized {
+      if (cacheToken == tok) {
+        missKeys.foreach { key =>
+          if (blobCache.get(key) == null) { // racing filler may have won
+            val rows = fetched.getOrElse(key, Array.empty[ShardRow])
+            blobCache.put(key, rows)
+            blobCacheSize += rows.iterator.map(rowBytes).sum
+          }
         }
         val it = blobCache.entrySet().iterator()
         while (blobCacheSize > store.cfg.driverBlobCacheBytes && it.hasNext) {
@@ -257,8 +269,10 @@ class SearchEngine(val store: IndexStore) {
           it.remove()
         }
       }
-      out.toArray
     }
+    matched.iterator.flatMap(k =>
+      hits.getOrElse(k, fetched.getOrElse(k, Array.empty[ShardRow]))).toArray
+  }
 
   private[search] def cachedPostings(): DataFrame = { refreshIfStale(); postingsC }
   private[search] def cachedTermDf(): DataFrame = { refreshIfStale(); termDfC }
@@ -305,28 +319,32 @@ class SearchEngine(val store: IndexStore) {
         e: java.util.Map.Entry[(String, String), java.lang.Long]): Boolean = size() > (1 << 17)
   }
 
-  private def fetchDfs(matched: Seq[(String, String)]): Map[(String, String), Long] =
-    synchronized {
-      val out = Map.newBuilder[(String, String), Long]
-      val miss = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  private def fetchDfs(matched: Seq[(String, String)]): Map[(String, String), Long] = {
+    val (tok, hits, missKeys) = synchronized {
+      val h = Map.newBuilder[(String, String), Long]
+      val m = Seq.newBuilder[(String, String)]
       matched.distinct.foreach { key =>
         val c = dfCache.get(key)
-        if (c != null) out += key -> c.longValue else miss += key
+        if (c != null) h += key -> c.longValue else m += key
       }
-      if (miss.nonEmpty) {
-        val fieldsTouched = miss.map(_._1).distinct.toSeq
-        val terms = miss.map(_._2).distinct.toSeq
-        val fetched = cachedTermDf()
-          .filter($"field".isInCollection(fieldsTouched) && $"term".isInCollection(terms))
-          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-        miss.foreach { key =>
-          val df = fetched.getOrElse(key, 0L)
-          dfCache.put(key, java.lang.Long.valueOf(df))
-          out += key -> df
+      (cacheToken, h.result(), m.result())
+    }
+    if (missKeys.isEmpty) hits
+    else {
+      // dictionary scan outside the monitor (see fetchShardRows)
+      val fieldsTouched = missKeys.map(_._1).distinct
+      val terms = missKeys.map(_._2).distinct
+      val fetched = cachedTermDf()
+        .filter($"field".isInCollection(fieldsTouched) && $"term".isInCollection(terms))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      synchronized {
+        if (cacheToken == tok) missKeys.foreach { key =>
+          dfCache.put(key, java.lang.Long.valueOf(fetched.getOrElse(key, 0L)))
         }
       }
-      out.result()
+      hits ++ missKeys.map(key => key -> fetched.getOrElse(key, 0L))
     }
+  }
 
   private[search] def tombstoneFiltered(decoded: DataFrame): DataFrame = {
     refreshIfStale()
@@ -432,9 +450,12 @@ class SearchEngine(val store: IndexStore) {
                                stats: Seq[TermStat], k: Int, mode: SearchMode,
                                bitOf: Map[(String, String), Long]): DataFrame = {
     val statsMap = stats.map(s => (s.field, s.term) -> s).toMap
-    val tomb = cachedTombstones()
+    // rows BEFORE tombstones: if a concurrent delete lands between the two
+    // reads, the tombstone map is the newer of the pair and the deleted doc
+    // is still filtered (the reverse order could resurface it)
     val rows = fetchShardRows(matched)
       .sortBy { case (f, t, seg, shard, _, _) => (f, t, shard, seg) }
+    val tomb = cachedTombstones()
     val and = mode == SearchMode.And
     val acc = new DriverScoreMap(1 << 12)
     val k1 = bm25.k1; val b = bm25.b

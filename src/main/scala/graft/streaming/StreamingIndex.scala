@@ -27,36 +27,38 @@ object StreamingIndex {
   /** Micro-batch incremental indexing: each micro-batch (here: one input
     * file, via maxFilesPerTrigger=1) becomes one committed segment.
     *
-    * Replay-idempotent: the segment id is a pure function of the stream's
-    * `batchId` (base = segments committed before the stream started). A
-    * restart that replays a batch whose segment already reached the manifest
-    * is a no-op, and a crash mid-build resumes that segment's stage
-    * checkpoints — df/fieldstats are never double-counted. Assumes no
-    * concurrent non-stream `add()` on the same store while the stream runs
-    * (same single-writer contract as the reference's per-index mutation
-    * path, clustering.go:521-542). */
+    * Replay-idempotent via CLAIM MARKERS: before building, the batch writes
+    * `graft-batch-<id>` in the checkpoint dir recording the segment id it
+    * claimed (max committed + 1 at claim time). A replayed batch reads its
+    * marker back: segment already in the manifest → no-op; marker present
+    * but uncommitted → resume that segment's stage checkpoints. Claiming by
+    * marker (not by deriving ids from batchId) stays correct when
+    * non-stream `add()` calls commit their own segments BETWEEN stream
+    * runs — those take fresh ids and can never collide with a claim.
+    * Remaining contract: no concurrent writer while a batch is in flight
+    * (the reference's per-index mutation path is single-writer too,
+    * clustering.go:521-542). */
   def indexStream(spark: SparkSession, inputDir: String,
                   store: IndexStore): StreamingQuery = {
     import spark.implicits._
-    // The base segment id is pinned ONCE per checkpoint (first start) and
-    // read back on restart — deriving it from the manifest at each start
-    // would shift after a crash that committed a segment but not the stream
-    // checkpoint, remapping replayed batchIds onto fresh segment ids.
     val checkpointDir = inputDir + ".checkpoint"
     val fs = new org.apache.hadoop.fs.Path(checkpointDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val baseMarker = new org.apache.hadoop.fs.Path(checkpointDir, "graft-base-seg")
-    val baseSeg: Int =
-      if (fs.exists(baseMarker)) {
-        val in = fs.open(baseMarker)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    def markerPath(batchId: Long) =
+      new org.apache.hadoop.fs.Path(checkpointDir, s"graft-batch-$batchId")
+    def readMarker(batchId: Long): Option[Int] = {
+      val p = markerPath(batchId)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
         finally in.close()
-      } else {
-        val b = store.segments.map(_.id).reduceOption(_ max _).getOrElse(-1)
-        val out = fs.create(baseMarker, true)
-        try out.write(b.toString.getBytes("UTF-8")) finally out.close()
-        b
       }
+    }
+    def writeMarker(batchId: Long, segId: Int): Unit = {
+      val out = fs.create(markerPath(batchId), true)
+      try out.write(segId.toString.getBytes("UTF-8")) finally out.close()
+    }
     spark.readStream
       .schema(corpusSchema)
       .option("maxFilesPerTrigger", 1)
@@ -64,13 +66,19 @@ object StreamingIndex {
       .as[CorpusDoc]
       .writeStream
       .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
-        val segId = baseSeg + 1 + batchId.toInt
-        if (!batch.isEmpty && !store.segments.exists(_.id == segId)) {
-          store.buildSegmentAt(segId, batch, resume = true); ()
+        if (!batch.isEmpty) {
+          val segId = readMarker(batchId).getOrElse {
+            val claimed = store.segments.map(_.id).reduceOption(_ max _).getOrElse(-1) + 1
+            writeMarker(batchId, claimed)
+            claimed
+          }
+          if (!store.segments.exists(_.id == segId)) {
+            store.buildSegmentAt(segId, batch, resume = true); ()
+          }
         }
       }
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", inputDir + ".checkpoint")
+      .option("checkpointLocation", checkpointDir)
       .start()
   }
 

@@ -184,6 +184,24 @@ class EdgeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](reg.app("../evil"))
     intercept[IllegalArgumentException](reg.app(".."))
     intercept[IllegalArgumentException](reg.dropApp("."))
+    // compact()'s working suffixes are reserved and never surface as apps
+    intercept[IllegalArgumentException](reg.app("x.compact"))
+    intercept[IllegalArgumentException](reg.app("y.old"))
+    reg.app("beta").compact()
+    assert(reg.appNames() == Seq("beta"), "compact work dirs must not list as apps")
+  }
+
+  test("retry-after-commit detection: lastSegmentMatches") {
+    val docs = CorpusGen.generate(spark, 25, seed = 13).collect().toSeq
+    val store = new IndexStore(spark, TestSpark.tempDir("retry"),
+      IndexConfig(shardSpan = 32, fields = Seq("content")))
+    assert(!store.lastSegmentMatches(spark.createDataset(docs)), "empty store matches nothing")
+    store.createSegment(spark.createDataset(docs))
+    assert(store.lastSegmentMatches(spark.createDataset(docs)),
+      "identical corpus must be recognized (build retry becomes a no-op)")
+    assert(!store.lastSegmentMatches(spark.createDataset(docs.take(24))))
+    val mutated = docs.head.copy(content = docs.head.content + " extra") +: docs.tail
+    assert(!store.lastSegmentMatches(spark.createDataset(mutated)))
   }
 
   test("warm repeat query is served from driver caches with ZERO Spark jobs") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.IndexConfig
+import graft.core.{CorpusDoc, IndexConfig}
 import graft.corpus.CorpusGen
 import graft.functions.JsonShape
 import graft.index.IndexStore
@@ -121,6 +121,46 @@ class ExtraSpec extends AnyFunSuite {
     assert(store.segments.size == 3, "replayed batch must not append a duplicate segment")
     assert(store.segments.map(_.numDocs).sum == nDocsBefore)
     assert(results == before, "df/fieldstats must not be double-counted by replay")
+  }
+
+  test("stream restart after a manual add() between runs neither loses nor duplicates batches") {
+    val work = TestSpark.tempDir("interleave")
+    val docs = CorpusGen.generate(spark, 60, seed = 23).collect().toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/stream"))
+    def shipChunk(part: Seq[CorpusDoc], name: String): Unit = {
+      spark.createDataset(part).coalesce(1).write.mode("overwrite").parquet(s"$work/tmp/$name")
+      val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$work/tmp/$name/*.parquet")).head.getPath
+      fs.rename(src, new org.apache.hadoop.fs.Path(s"$work/stream/$name.parquet"))
+    }
+    val cfg = IndexConfig(shardSpan = 64, fields = Seq("content"))
+    val store = new IndexStore(spark, s"$work/idx", cfg)
+    // run 1: two micro-batches
+    shipChunk(docs.slice(0, 20), "c0")
+    shipChunk(docs.slice(20, 40), "c1")
+    StreamingIndex.indexStream(spark, s"$work/stream", store).awaitTermination()
+    assert(store.segments.size == 2)
+    // manual add BETWEEN stream runs takes its own segment id
+    val manual = Seq(CorpusDoc(7777L, "rm", "p/m", "m" * 40, "en", "graftmanual doc content"))
+    store.add(spark.createDataset(manual))
+    assert(store.segments.size == 3)
+    // run 2: a third file arrives; its batch must claim a FRESH id, not
+    // collide with the manual segment (the old batchId-derived scheme lost
+    // this batch silently)
+    shipChunk(docs.slice(40, 60), "c2")
+    StreamingIndex.indexStream(spark, s"$work/stream", store).awaitTermination()
+    assert(store.segments.size == 4, s"got ${store.segments}")
+    assert(store.segments.map(_.numDocs).sum == 61)
+    val eng = new SearchEngine(store)
+    assert(eng.search("graftmanual", Seq("content"), k = 5).collect().map(_.getLong(0)).toSeq == Seq(7777L))
+    // every original doc is searchable exactly once: compare against batch twin
+    val twin = new IndexStore(spark, s"$work/twin", cfg)
+    twin.createSegment(spark.createDataset(docs ++ manual))
+    val a = eng.search("import the", Seq("content"), k = 20)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val b = new SearchEngine(twin).search("import the", Seq("content"), k = 20)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(a == b, "interleaved stream+add store must equal one batch build")
   }
 
   test("windowed streaming agg equals batch aggregation") {
