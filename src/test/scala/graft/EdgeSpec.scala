@@ -191,6 +191,46 @@ class EdgeSpec extends AnyFunSuite {
     assert(reg.appNames() == Seq("beta"), "compact work dirs must not list as apps")
   }
 
+  test("concurrent queries on one engine: parallel cache fills agree with sequential") {
+    val docs = CorpusGen.generate(spark, 120, seed = 31).collect().toSeq
+    val store = new IndexStore(spark, TestSpark.tempDir("conc"),
+      IndexConfig(shardSpan = 32, fields = Seq("content")))
+    store.createSegment(spark.createDataset(docs))
+    val eng = new SearchEngine(store)
+    val queries = Seq(("import the", SearchMode.Or), ("class def", SearchMode.Wand),
+      ("import val", SearchMode.And), ("im", SearchMode.Or))
+    def run(q: String, mode: SearchMode): Seq[(Long, Long)] =
+      eng.search(q, Seq("content"), beginsWith = q == "im", k = 10, mode = mode)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val expected = queries.map { case (q, m) => (q, m) -> run(q, m) }.toMap
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def hammer(): Unit = {
+      val fs = (0 until 16).map { i =>
+        val (q, m) = queries(i % queries.size)
+        Future { (q, m, run(q, m)) }
+      }
+      Await.result(Future.sequence(fs), 5.minutes).foreach { case (q, m, got) =>
+        assert(got == expected((q, m)), s"parallel result diverged for [$q] $m")
+      }
+    }
+    hammer() // cold caches filled by racing threads
+    hammer() // warm caches
+    // CRUD between phases: caches invalidate, parallel results track the delete
+    val victim = expected(("import the", SearchMode.Or)).head._1
+    store.delete(Seq(victim))
+    val after = queries.map { case (q, m) => (q, m) -> run(q, m) }.toMap
+    assert(!after(("import the", SearchMode.Or)).map(_._1).contains(victim))
+    val fs2 = (0 until 8).map { i =>
+      val (q, m) = queries(i % queries.size)
+      Future { (q, m, run(q, m)) }
+    }
+    Await.result(Future.sequence(fs2), 5.minutes).foreach { case (q, m, got) =>
+      assert(got == after((q, m)), s"post-delete parallel result diverged for [$q] $m")
+    }
+  }
+
   test("retry-after-commit detection: lastSegmentMatches") {
     val docs = CorpusGen.generate(spark, 25, seed = 13).collect().toSeq
     val store = new IndexStore(spark, TestSpark.tempDir("retry"),
