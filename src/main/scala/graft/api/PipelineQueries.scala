@@ -57,12 +57,12 @@ object PipelineQueries {
        |  WHERE t <> ''
        |)""".stripMargin
 
-  /** SQL twin of Dedup.shingles (k=3, incl. the DefaultMaxShingleDf hot-
-    * shingle cap, so the oracle stays a true twin on ANY corpus) + pairwise
-    * Jaccard ≥ minJ. */
-  private def jaccardSql(docs: String, minJ: Double,
-                         maxShingleDf: Long = Dedup.DefaultMaxShingleDf): String =
-    s"""WITH docs AS ($docs),
+  /** Shared CTE chain: tokenize → capped shingles (DefaultMaxShingleDf, so
+    * the oracle stays a true twin on ANY corpus) → pairwise Jaccard ≥ minJ
+    * as relation `p(id_a, id_b, jaccard)`. */
+  private def jaccardCtes(docs: String, minJ: Double,
+                          maxShingleDf: Long = Dedup.DefaultMaxShingleDf): String =
+    s"""docs AS ($docs),
        |t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts FROM docs),
        |idx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
        |        FROM t WHERE len(ts) >= 3),
@@ -72,11 +72,28 @@ object PipelineQueries {
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          GROUP BY a.doc_id, b.doc_id)
-       |SELECT id_a, id_b, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
-       |FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-       |WHERE c * 1.0 / (x.n + y.n - c) >= $minJ
+       |          GROUP BY a.doc_id, b.doc_id),
+       |p AS (SELECT id_a, id_b, c * 1.0 / (x.n + y.n - c) AS jaccard
+       |      FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+       |      WHERE c * 1.0 / (x.n + y.n - c) >= $minJ)""".stripMargin
+
+  /** SQL twin of Dedup.ngramJaccardPairs. */
+  private def jaccardSql(docs: String, minJ: Double): String =
+    s"""WITH ${jaccardCtes(docs, minJ)}
+       |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** SQL twin of Dedup.dupGroups over the Jaccard pairs: connected
+    * components via recursive transitive closure, keep_id = component min. */
+  private def groupsSql(docs: String, minJ: Double): String =
+    s"""WITH RECURSIVE ${jaccardCtes(docs, minJ)},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |          UNION SELECT id_b, id_a FROM p),
+       |reach AS (SELECT DISTINCT src AS id, src AS root FROM edges
+       |          UNION
+       |          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, min(root) AS keep_id FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of Dedup.simHashes + brute-force Hamming pairing. The Spark
     * side's block-bucket join has guaranteed recall (pigeonhole), so its
@@ -148,6 +165,14 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b"),
       Some(jaccardSql(nearDupSql, 0.5))),
+
+    // dup-group clustering: connected components over the Jaccard pairs,
+    // hash-verified against a recursive-CTE transitive closure
+    QueryDef("q_dedup_groups",
+      (s, dir) => Dedup.dupGroups(
+          Dedup.ngramJaccardPairs(nearDupDocs(s, dir), minJaccard = 0.5))
+        .orderBy("doc_id"),
+      Some(groupsSql(nearDupSql, 0.5))),
 
     // MinHash-LSH candidates verified with exact Jaccard: with 64 hashes /
     // 16 bands the injected near-dups (J ≈ 0.97) are caught with probability

@@ -148,6 +148,46 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  // ---------- duplicate-group clustering ----------
+
+  /** Connected components over near-dup pairs — the step real dedup
+    * pipelines run after pair generation: pairs → groups → keep one
+    * canonical doc per group. Returns (doc_id, keep_id) for every doc in
+    * some group, keep_id = smallest doc_id of its component.
+    *
+    * Min-label propagation: each iteration is one join + one aggregation
+    * (all bucketed on ids — no all-pairs shape), and the label of every
+    * node drops to the component minimum within diameter(component)
+    * iterations. Near-dup components are short chains/cliques, so this
+    * converges in a handful of rounds; `localCheckpoint` truncates the
+    * iterative lineage (swap for `checkpoint` with a checkpoint dir on a
+    * real cluster if executor loss must be survivable mid-computation). */
+  def dupGroups(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
+  }
+
   // ---------- SimHash ----------
 
   /** SimHash width: 62 bits = two seeded 31-bit [[graft.functions.PortableHash]]

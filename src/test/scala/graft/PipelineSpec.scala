@@ -41,6 +41,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("dupGroups: connected components over pair chains, cliques and singletons") {
+    // chain 1-2-3-4 (transitive closure), clique {10,11,12}, pair {20,21};
+    // doc 99 appears in no pair and must not appear in the output
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.dupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // long chain: label must propagate the full diameter
+    val chain = (0 until 40).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val gotChain = Dedup.dupGroups(chain).collect().map(_.getLong(1)).distinct
+    assert(gotChain.sameElements(Array(0L)), "whole chain is one component rooted at 0")
+  }
+
   test("plan audit: no all-pairs join shape in any bucketed dedup/ANN plan") {
     // The 100 TB claim rests on every candidate join being keyed on a
     // bounded bucket. A Cartesian/broadcast-nested-loop join in the plan
