@@ -179,7 +179,9 @@ object Bench {
 
     val low = runLevel(nLow, s"$work/corpus", nDocs, s"$work/idx-$nLow", s"$work/warmup", reps)
     val high = runLevel(nHigh, s"$work/corpus", nDocs, s"$work/idx-$nHigh", s"$work/warmup", reps)
-    val peak = runLevel(nPeak, s"$work/corpus", nDocs, s"$work/idx-$nPeak", s"$work/warmup", 1)
+    // the peak row gets the same median-of-reps treatment as the criterion
+    // levels: a single 32-thread pass on this VM carries ±30% noise
+    val peak = runLevel(nPeak, s"$work/corpus", nDocs, s"$work/idx-$nPeak", s"$work/warmup", reps)
     val pipeline = pipelineBench(nPeak, sfDir)
     val efficiency = (high.docsPerSec / low.docsPerSec) / (nHigh.toDouble / nLow)
     val rankIdentical = (queryMix.map(_._1) :+ "wand3_distributed").forall { name =>
@@ -209,6 +211,7 @@ object Bench {
       s""""docs_per_sec_${nPeak}c":${f(peak.docsPerSec)},""" +
       s""""build_secs_${nLow}c":${samples(low.buildSecs)},""" +
       s""""build_secs_${nHigh}c":${samples(high.buildSecs)},""" +
+      s""""build_secs_${nPeak}c":${samples(peak.buildSecs)},""" +
       s""""scaling_pair":"${nLow}->${nHigh}",""" +
       s""""scaling_efficiency":${f(efficiency)},""" +
       s""""scaling_efficiency_basis":"median_of_$reps",""" +
@@ -230,7 +233,7 @@ object Bench {
          ||---|---|---|---|
          || local[$nLow] (N) | ${f(low.buildSec)} | ${low.buildSecs.map(f).mkString(", ")} | ${f(low.docsPerSec)} |
          || local[$nHigh] (4N) | ${f(high.buildSec)} | ${high.buildSecs.map(f).mkString(", ")} | ${f(high.docsPerSec)} |
-         || local[$nPeak] (peak) | ${f(peak.buildSec)} | — | ${f(peak.docsPerSec)} |
+         || local[$nPeak] (peak) | ${f(peak.buildSec)} | ${peak.buildSecs.map(f).mkString(", ")} | ${f(peak.docsPerSec)} |
          |
          |**Scaling efficiency (N→4N, $nLow→$nHigh cores, median-of-$reps):** ${f(efficiency)} (target ≥ 0.8)
          |**Top-10 docIDs rank-identical across all levels:** $rankIdentical
@@ -284,6 +287,14 @@ object Bench {
          |${(queryMix.map { case (name, q, bw, mode) =>
             s"| $name (`$q`${if (bw) ", prefix" else ""}, $mode) | ${f(low.queryMs(name))} | ${f(high.queryMs(name))} | ${f(peak.queryMs(name))} |"
           } :+ s"| wand3_distributed (fast path off) | ${f(low.queryMs("wand3_distributed"))} | ${f(high.queryMs("wand3_distributed"))} | ${f(peak.queryMs("wand3_distributed"))} |").mkString("\n|")}
+         |
+         |On `wand3_distributed`: it bypasses every driver cache by design
+         |(fast path disabled), so its latency is dominated by Spark's
+         |per-job scheduling floor (3 jobs: stats, shard scan+group-walk,
+         |top-k) rather than by posting volume — it is expected to stay
+         |roughly flat round-over-round and across core counts, and it is
+         |the number that represents the corpus-scale (cache-miss) path
+         |honestly.
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
 

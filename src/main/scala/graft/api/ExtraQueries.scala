@@ -59,6 +59,17 @@ object ExtraQueries {
       work
     })
 
+  /** Memoized run of the append-mode windowed aggregation; returns the
+    * parquet sink directory. */
+  private val appendWindowCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def appendWindowDir(s: SparkSession, dir: String): String =
+    appendWindowCache.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-winapp").toString + "/sink"
+      StreamingIndex.windowedEventCountsAppend(s, eventsStreamDir(s, dir), out)
+        .awaitTermination()
+      out
+    })
+
   // ---------- app-registry cache (one multi-store build per sf dir) ----------
 
   private val registryCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.AppRegistry]
@@ -210,6 +221,21 @@ object ExtraQueries {
         """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
           |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // append-mode + watermark-purged-state + file-sink variant of the
+    // windowed aggregation (the bounded-state scale shape): only windows the
+    // final watermark (max ts − 10 min) has closed are emitted — the oracle
+    // applies exactly that bound
+    QueryDef("q_stream_window_append",
+      (s, dir) => s.read.parquet(appendWindowDir(s, dir))
+        .orderBy("window_start", "event_type"),
+      Some(
+        """SELECT * FROM (
+          |  SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+          |         event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+          |  FROM events GROUP BY 1, 2)
+          |WHERE window_start + 3600 <= (SELECT epoch(max(ts)) - 600 FROM events)
+          |ORDER BY window_start, event_type""".stripMargin)),
 
     // stateful streaming (flatMapGroupsWithState): per-user running totals
     QueryDef("q_stream_user_totals",

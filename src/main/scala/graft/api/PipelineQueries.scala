@@ -149,6 +149,30 @@ object PipelineQueries {
        |FROM fps ORDER BY doc_id""".stripMargin
   }
 
+  /** Driver-visible recall gate for an approximate ANN operator: runs the
+    * ANN plan AND the exact brute-force plan over the same 8 query vectors
+    * in one job, semi-joins the exact top-5 pairs against the approximate
+    * ones, and emits a single row whose `recall_ok` asserts ≥ 80% recall.
+    * The oracle is the constant expected row — trivially expressible, and
+    * red the moment a recall regression lands. */
+  private def annRecallQuery(name: String,
+      ann: (DataFrame, DataFrame) => DataFrame): QueryDef =
+    QueryDef(name,
+      (s, dir) => {
+        val emb = Corpus.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 8)
+        val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+          .select(col("qid"), col("vec_id"))
+        val approx = ann(emb, q).select(col("qid"), col("vec_id"))
+        val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+        exact.agg(countDistinct(col("qid")).as("n_queries"),
+            count(lit(1)).as("n_expected"))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(col("n_queries"), col("n_expected"),
+            (col("n_hits") >= col("n_expected") * 0.8).as("recall_ok"))
+      },
+      Some("SELECT 8::BIGINT AS n_queries, 40::BIGINT AS n_expected, true AS recall_ok"))
+
   // ---------- registry ----------
 
   def all: Seq[QueryDef] = Seq(
@@ -222,29 +246,21 @@ object PipelineQueries {
              |QUALIFY rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
-    // IVF ANN (k-means coarse quantizer): approximate, recall asserted in
-    // PipelineSpec vs brute force; rows-only driver check.
-    QueryDef("q_ann_ivf_cosine",
-      (s, dir) => {
-        val emb = Corpus.embeddings(s, dir)
-        Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, k = 5,
-            nLists = 16, nProbe = 4)
-          .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
-          .orderBy("qid", "rank")
-      },
-      None),
+    // Approximate ANN (IVF / LSH) cannot have a DuckDB twin (seeded k-means
+    // / Gaussian hyperplanes), so the driver-visible correctness signal is
+    // RECALL@5 against the in-Spark brute force: both sides run in one plan
+    // and the query emits (n_queries, n_expected, recall_ok) where recall_ok
+    // demands ≥ 80% of the exact top-5 sets recovered — a recall regression
+    // flips the row red in CORRECTNESS. Per-pair agreement is additionally
+    // asserted in PipelineSpec.
+    // nProbe=8 of 16 cells: measured recall@5 = 0.825/0.90/0.925 at
+    // sf0.001/0.01/0.1 (graft.tools.RecallProbe) — ≥ 0.8 with margin at the
+    // gated sfs; nProbe=4 sat at 0.62-0.67 and failed the gate honestly
+    annRecallQuery("q_ann_ivf_recall", (emb, q) =>
+      Similarity.ivfTopK(q, emb, k = 5, nLists = 16, nProbe = 8)),
 
-    // LSH ANN is approximate by design — recall vs brute force is asserted
-    // in PipelineSpec; the driver check is rows-only.
-    QueryDef("q_ann_lsh_cosine",
-      (s, dir) => {
-        val emb = Corpus.embeddings(s, dir)
-        Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, k = 5,
-            nBits = 16, bands = 8)
-          .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
-          .orderBy("qid", "rank")
-      },
-      None),
+    annRecallQuery("q_ann_lsh_recall", (emb, q) =>
+      Similarity.lshTopK(q, emb, k = 5, nBits = 16, bands = 8)),
 
     QueryDef("q_lang_id",
       (s, dir) => {

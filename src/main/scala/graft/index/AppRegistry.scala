@@ -3,6 +3,7 @@ package graft.index
 import graft.core.IndexConfig
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** Multi-app namespace registry: one [[IndexStore]] per app name under a
   * root directory — the catalog layer the reference keeps as named
@@ -56,17 +57,45 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
   }
 
   /** The reference's ListApps surface: per-app segment and live-doc counts.
-    * Manifest reads are driver-side FS metadata; tombstone corrections use
-    * each store's live count only when tombstones exist. */
-  def listApps(): DataFrame =
-    appNames().map { name =>
+    * Runs AT MOST ONE Spark job regardless of app count: manifest reads and
+    * tombstone row counts are driver-side FS/footer metadata; apps without
+    * tombstones report Σ manifest numDocs directly, and the tombstone
+    * corrections of every remaining app are unioned into a single
+    * killed-count plan (slim docstats ⋉ tombstones per app) collected once.
+    * A 10^4-app catalog listing must not schedule 10^4 count jobs. */
+  def listApps(): DataFrame = {
+    val infos = appNames().map { name =>
       val store = app(name)
-      val segs = store.segments
-      val live =
-        if (store.tombstoneCount() == 0L) segs.map(_.numDocs).sum
-        else store.liveCorpus().count()
-      (name, segs.size.toLong, live)
-    }.toDF("app", "n_segments", "n_docs")
+      (name, store, store.segments, store.tombstoneCount())
+    }
+    val plain = infos.collect { case (name, _, segs, 0L) =>
+      (name, segs.size.toLong, segs.map(_.numDocs).sum)
+    }
+    val tombstoned = infos.filter(_._4 > 0L)
+    val corrected =
+      if (tombstoned.isEmpty) Seq.empty[(String, Long, Long)]
+      else {
+        // AQE would execute each shuffle stage of the unioned plan as its
+        // own job; the correction query is metadata-sized (docstats ids +
+        // tombstones, never the corpus), so run it on a cloned session with
+        // AQE off — one action, one job, regardless of app count
+        val s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        // broadcast exchanges materialize as their own jobs too — shuffle
+        // joins keep the whole correction union inside the single action
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val kills = tombstoned.map { case (name, _, _, _) =>
+            new IndexStore(s, s"$rootDir/$name", cfg)
+              .killedDocCountDF().withColumn("app", lit(name))
+          }.reduce(_ unionByName _)
+          .collect().map(r => r.getAs[String]("app") -> r.getAs[Long]("n_killed"))
+          .toMap
+        tombstoned.map { case (name, _, segs, _) =>
+          (name, segs.size.toLong, segs.map(_.numDocs).sum - kills.getOrElse(name, 0L))
+        }
+      }
+    (plain ++ corrected).sortBy(_._1).toDF("app", "n_segments", "n_docs")
+  }
 
   /** Drop an app (delete its store directory). */
   def dropApp(name: String): Boolean =

@@ -283,12 +283,14 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
   }
 
-  /** Raw tombstone row count (parquet-footer metadata scan — no data read).
-    * An upper bound on distinct deleted ids; used to size-guard the driver
-    * map. */
+  /** Raw tombstone row count, summed from parquet footers on the driver —
+    * NO Spark job and no data read (this runs on every store-version cache
+    * refresh and on catalog listings, so a job here would serialize every
+    * query behind the scheduler). An upper bound on distinct deleted ids;
+    * used to size-guard the driver map. */
   def tombstoneCount(): Long = {
     val tp = p("tombstones")
-    if (!fs.exists(tp)) 0L else spark.read.parquet(tp.toString).count()
+    if (!fs.exists(tp)) 0L else parquetFileMetrics(tp).map(_._2).sum
   }
 
   /** Aggregated tombstones as a DataFrame (t_doc_id, t_max_seg) — the
@@ -298,7 +300,9 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     val tp = p("tombstones")
     if (!fs.exists(tp))
       spark.emptyDataset[Tombstone].toDF("t_doc_id", "t_max_seg")
-    else spark.read.parquet(tp.toString)
+    else spark.read
+      .schema(org.apache.spark.sql.Encoders.product[Tombstone].schema)
+      .parquet(tp.toString) // explicit schema: no inference job
       .groupBy(col("doc_id")).agg(max(col("max_seg")).as("max_seg"))
       .toDF("t_doc_id", "t_max_seg")
   }
@@ -307,6 +311,27 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     val tp = p("tombstones")
     if (!fs.exists(tp)) spark.createDataFrame(Seq.empty[Tombstone])
     else spark.read.parquet(tp.toString)
+  }
+
+  /** One-row plan counting the (doc, segment) pairs killed by tombstones —
+    * live doc count = Σ manifest numDocs − this, the exact complement of
+    * [[liveCorpus]]'s anti-join. Joins the slim docstats tables (doc_id
+    * only, never the corpus) against aggregated tombstones; returned
+    * UNEXECUTED so a catalog listing can union many stores' plans into a
+    * single Spark job. */
+  def killedDocCountDF(): DataFrame = {
+    // explicit schemas: a schema-inference footer job per parquet read
+    // would defeat the whole single-job catalog contract
+    val docStatSchema = org.apache.spark.sql.Encoders.product[DocStat].schema
+    val ds = segments.map(s =>
+        spark.read.schema(docStatSchema).parquet(p(s"seg-${s.id}", "docstats").toString)
+          .select(col("doc_id")).withColumn("seg", lit(s.id)))
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[(Long, Int)].toDF("doc_id", "seg"))
+    val ts = tombstoneAgg()
+    ds.join(ts, ds("doc_id") === ts("t_doc_id") && ds("seg") <= ts("t_max_seg"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_killed"))
   }
 
   /** Cheap store-version token (driver-side FS metadata only): changes when
@@ -333,23 +358,33 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
       .select(col("field"), col("n_docs"), col("n_terms")).orderBy("field")
   }
 
-  /** True when the LAST committed segment indexes exactly this corpus
-    * (row count + order-insensitive per-doc sha fingerprint) — lets a build
-    * retry that lands after the manifest commit become a no-op instead of a
-    * duplicate segment (two tiny aggregation jobs). */
-  def lastSegmentMatches(corpus: Dataset[CorpusDoc]): Boolean =
-    segments.maxByOption(_.id).exists { last =>
-      def fingerprint(df: DataFrame): (Long, Long) = {
-        // bit_xor: order-insensitive and overflow-free under ANSI mode
-        val r = df.agg(count(lit(1)),
-          bit_xor(xxhash64(concat(col("doc_id").cast("string"), col("content_sha"))))).head()
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
-      last.numDocs > 0 && {
-        val stored = fingerprint(spark.read.parquet(p(s"seg-${last.id}", "docstats").toString))
-        stored == fingerprint(IndexBuilder.docStats(corpus))
-      }
+  /** Order-insensitive fingerprint over ALL indexed CorpusDoc fields —
+    * (row count, bit_xor of per-row xxhash64). Hashing every field (not
+    * just doc_id+content) means a retry whose corpus changed only repo/
+    * path/lang metadata is correctly seen as DIFFERENT (those fields are
+    * indexed too). bit_xor: order-insensitive, overflow-free under ANSI. */
+  private def corpusFingerprint(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      bit_xor(xxhash64(col("doc_id"), col("repo"), col("path"),
+        col("commit"), col("lang"), col("content")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** True when committed segment `segId` indexes exactly this corpus (all
+    * fields, order-insensitive) — two small aggregation jobs over the
+    * stored segment corpus and the candidate batch. */
+  def segmentMatches(segId: Int, corpus: Dataset[CorpusDoc]): Boolean =
+    segments.exists(s => s.id == segId && s.numDocs > 0) && {
+      val stored = corpusFingerprint(
+        spark.read.parquet(p(s"seg-$segId", "corpus").toString))
+      stored == corpusFingerprint(corpus.toDF())
     }
+
+  /** True when the LAST committed segment indexes exactly this corpus —
+    * lets a build retry that lands after the manifest commit become a no-op
+    * instead of a duplicate segment. */
+  def lastSegmentMatches(corpus: Dataset[CorpusDoc]): Boolean =
+    segments.maxByOption(_.id).exists(last => segmentMatches(last.id, corpus))
 
   // ---------- CRUD ----------
 
@@ -359,18 +394,40 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
   /** Delete documents by id. Re-tokenizes the stored docs (reference
     * indexing.go:604-667 recomputes posting keys from content) to precompute
     * df and length-stat corrections, then appends tombstones — postings blobs
-    * are never edited in place. */
+    * are never edited in place. This Seq overload is the CRUD-by-id shape
+    * (bounded id lists); a pipeline-scale sweep whose victim set is itself a
+    * table (e.g. every doc of a dedup group) must use [[delete(ids:DataFrame)*]],
+    * which never materializes the ids on the driver. */
   def delete(docIds: Seq[Long]): Unit = {
     if (docIds.isEmpty) return
-    val maxSeg = segments.map(_.id).reduceOption(_ max _).getOrElse(-1)
     val idSet = docIds.toSet
     // resolve against LIVE docs only: deleting an already-deleted id is a
     // no-op (otherwise its df/stats corrections would be applied twice)
-    val victims = liveCorpus().filter(col("doc_id").isInCollection(idSet))
+    deleteVictims(liveCorpus().filter(col("doc_id").isInCollection(idSet))
+      .as[CorpusDoc])
+  }
+
+  /** Distributed bulk delete: `ids` is a one-column DataFrame of doc ids
+    * (any column name, castable to long). Victims are resolved with a
+    * left-semi join — the id set is never collected, broadcast-listed, or
+    * turned into an IN literal, so a sweep deleting 10^8 ids (a dedup
+    * pass over the live corpus) runs entirely as shuffled joins. Write
+    * path (df/stats corrections + tombstones) is identical to the Seq
+    * overload. */
+  def delete(ids: DataFrame): Unit = {
+    val idCol = ids.columns.head
+    val victims = liveCorpus()
+      .join(ids.select(col(idCol).cast("long").as("doc_id")), Seq("doc_id"), "left_semi")
       .as[CorpusDoc]
+    deleteVictims(victims)
+  }
+
+  private def deleteVictims(victims: Dataset[CorpusDoc]): Unit = {
+    val maxSeg = segments.map(_.id).reduceOption(_ max _).getOrElse(-1)
     victims.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nVictims = victims.count()
+      if (nVictims == 0) return
       // df corrections: one row per distinct (field, term) of each victim doc
       val deltas = IndexBuilder.postings(victims, cfg.fields)
         .groupBy(col("field"), col("term")).agg(count(lit(1)).as("ddf"))
@@ -395,10 +452,11 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
   }
 
   /** Update = delete + re-add under a newer segment (reference
-    * indexing.go:669-687: "deletes the document, then adds the new one"). */
+    * indexing.go:669-687: "deletes the document, then adds the new one").
+    * The delete resolves by semi-join, so a bulk update never collects its
+    * id set to the driver. */
   def update(docs: Dataset[CorpusDoc]): Int = {
-    val ids = docs.select("doc_id").as[Long].collect().toSeq
-    delete(ids)
+    delete(docs.select("doc_id").toDF())
     createSegment(docs)
   }
 

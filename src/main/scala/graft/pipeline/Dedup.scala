@@ -155,36 +155,55 @@ object Dedup {
     * canonical doc per group. Returns (doc_id, keep_id) for every doc in
     * some group, keep_id = smallest doc_id of its component.
     *
-    * Min-label propagation: each iteration is one join + one aggregation
-    * (all bucketed on ids — no all-pairs shape), and the label of every
-    * node drops to the component minimum within diameter(component)
-    * iterations. Near-dup components are short chains/cliques, so this
-    * converges in a handful of rounds; `localCheckpoint` truncates the
-    * iterative lineage (swap for `checkpoint` with a checkpoint dir on a
-    * real cluster if executor loss must be survivable mid-computation). */
-  def dupGroups(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs
+    * Min-label propagation with pointer doubling: each iteration takes the
+    * min over (own label, neighbors' labels, label OF own label) — two
+    * id-bucketed joins + one aggregation, no all-pairs shape. The
+    * label-of-label hop halves the pointer depth every round, so a
+    * component of diameter d converges in O(log d) iterations, not O(d) —
+    * a 10^6-long chain of near-dup shards finishes in ~20 rounds. The loop
+    * FAILS LOUDLY if `maxIters` is hit before a fixpoint (a silent exit
+    * would return labels that are not the component minima).
+    *
+    * Lineage across iterations is truncated with `localCheckpoint` by
+    * default; pass `checkpointDir` to use reliable `checkpoint` instead so
+    * the computation survives executor loss on a real cluster. */
+  def dupGroups(pairs: DataFrame, maxIters: Int = 50,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = ckpt(pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+      // pointer doubling: the label of my current label (its component
+      // representative may already point lower than any of my neighbors);
+      // every label value is itself a node id, so this is a self-join
+      val hop = labels.select(col("id").as("h_id"), col("label").as("hlabel"))
+      val updated = ckpt(labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .join(hop, labels("label") === hop("h_id"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
-        .localCheckpoint(true)
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("hlabel"), col("label"))).as("next")))
       changed = updated.filter(col("next") < col("label")).count()
       labels = updated.select(col("id"), col("next").as("label"))
       iter += 1
     }
+    require(changed == 0,
+      s"dupGroups did not converge within $maxIters iterations " +
+        s"($changed labels still changing) — labels would NOT be component " +
+        "minima; raise maxIters")
     labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
   }
 
@@ -215,35 +234,82 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
+  /** Default per-bucket document-frequency cap for SimHash candidate
+    * generation — the [[DefaultMaxShingleDf]] discipline applied to block
+    * buckets: a bucket shared by more docs than this would make the bucket
+    * self-join quadratic in its size. Sits far above organic bucket sizes
+    * on the key widths chosen below (≥ ~13.8 key bits at every maxDist);
+    * a bucket this hot means degenerately-clustered hashes (e.g. mass
+    * boilerplate), which exact-dedup should have removed first. Pass 0 to
+    * disable. */
+  val DefaultMaxBlockDf: Long = 100000
+
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (Manku et al.
-    * block-permutation scheme). The 62 bits are cut into maxDist+1 blocks:
-    * by pigeonhole, any pair within distance maxDist agrees on at least one
-    * full block, so the block-bucket join has GUARANTEED recall; candidates
-    * are verified with bit_count(xor). maxDist ≤ 7 keeps blocks ≥ 7 bits
-    * (coarser blocks make bucket sizes — and the join — explode). */
+    * block-permutation scheme), candidates verified with bit_count(xor).
+    *
+    * Key scheme: a pair within Hamming distance maxDist has differing bits
+    * in at most maxDist blocks. With nBlocks = maxDist+1 (single-block
+    * keys) pigeonhole leaves ≥ 1 clean block; with nBlocks = maxDist+2 it
+    * leaves ≥ 2, so keys can be PAIRS of blocks — double the key bits.
+    * Single-block keys collapse below ~12 bits for maxDist ≥ 5 (≤ 4096
+    * distinct values: at 10^9 docs EVERY bucket is hot and the join goes
+    * quadratic), so wide distances switch to the pair scheme:
+    * C(maxDist+2, 2) keys per doc, each ≥ ~13.8 bits. Both schemes have
+    * pigeonhole-GUARANTEED recall — the result equals a brute-force
+    * Hamming scan exactly. */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3,
+                   maxBlockDf: Long = DefaultMaxBlockDf): DataFrame =
+    simHashPairsFromHashes(simHashes(docs, textCol), maxDist, maxBlockDf)
+
+  private[graft] def simHashPairsFromHashes(hs: DataFrame, maxDist: Int,
+                                               maxBlockDf: Long): DataFrame = {
     require(maxDist >= 1 && maxDist <= 7, "maxDist must be in [1, 7]")
-    val nBlocks = maxDist + 1
+    simHashCandidates(hs, maxDist, maxBlockDf)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Bucketed candidate pairs (id_a < id_b, with both simhashes), BEFORE
+    * the Hamming verification filter — exposed for bucket-size tests. */
+  private[graft] def simHashCandidates(hs: DataFrame, maxDist: Int,
+                                          maxBlockDf: Long): DataFrame = {
+    val pairScheme = SimHashBits / (maxDist + 1) < 12
+    val nBlocks = if (pairScheme) maxDist + 2 else maxDist + 1
     val bounds = (0 to nBlocks).map(i => i * SimHashBits / nBlocks) // bit offsets
-    val hs = simHashes(docs, textCol)
-    val blockCols = (0 until nBlocks).map { bl =>
+    val blockVals = (0 until nBlocks).map { bl =>
       val lo = bounds(bl); val width = bounds(bl + 1) - lo
       val mask = if (width >= 64) -1L else (1L << width) - 1
       shiftright(col("simhash"), lo).bitwiseAND(lit(mask))
     }
-    val blocks = hs.select(col("doc_id"), col("simhash"),
-        posexplode(array(blockCols: _*)))
+    // pair-scheme key: both block values packed into one long (block widths
+    // are ≤ 16 bits whenever the pair scheme is active)
+    val keyCols: Seq[Column] =
+      if (!pairScheme) blockVals
+      else for { i <- 0 until nBlocks; j <- (i + 1) until nBlocks }
+        yield shiftleft(blockVals(i), 16).bitwiseOR(blockVals(j))
+    val blocks0 = hs.select(col("doc_id"), col("simhash"),
+        posexplode(array(keyCols: _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "bval")
+    // hot-bucket guard: buckets above the df cap are dropped from candidate
+    // generation (same discipline as maxShingleDf; recall on pairs whose
+    // ONLY agreeing key was a capped bucket is sacrificed knowingly)
+    val blocks =
+      if (maxBlockDf <= 0) blocks0
+      else {
+        val hot = blocks0.groupBy(col("block"), col("bval"))
+          .agg(count(lit(1)).as("bdf")).filter(col("bdf") > maxBlockDf)
+          .select("block", "bval")
+        blocks0.join(hot, Seq("block", "bval"), "left_anti")
+      }
     val l = blocks.select(col("block"), col("bval"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val r = blocks.select(col("block"), col("bval"),
       col("doc_id").as("id_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("block", "bval"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
   }
 }

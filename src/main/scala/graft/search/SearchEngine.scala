@@ -56,9 +56,20 @@ class SearchEngine(val store: IndexStore) {
   def expandPrefix(prefix: String, fields: Seq[String], cap: Int = 100): Seq[(String, String)] =
     cachedExpansion("p", prefix, fields, cap) {
       val lo = prefix.toLowerCase
-      val hi = lo.init + (lo.last + 1).toChar
+      // Range pruning needs a successor string upper-bounding every
+      // lo-prefixed term in UTF-8 (code point) order. Incrementing the
+      // final UTF-16 unit is only order-preserving while it stays strictly
+      // below the surrogate range; prefixes ending at U+D7FF or above
+      // (incl. astral prefixes, whose last unit is a low surrogate, and
+      // U+FFFF-adjacent chars) fall back to an unpruned startswith scan —
+      // correct, just not min/max-pruned, and vanishingly rare.
+      val pred =
+        if (lo.nonEmpty && lo.last < 0xD7FF.toChar) {
+          val hi = lo.init + (lo.last + 1).toChar
+          $"term" >= lo && $"term" < hi
+        } else $"term".startsWith(lo)
       cachedTermDf()
-        .filter($"field".isInCollection(fields) && $"term" >= lo && $"term" < hi)
+        .filter($"field".isInCollection(fields) && pred)
         .select($"field", $"term").orderBy($"term", $"field").limit(cap)
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     }
@@ -235,43 +246,60 @@ class SearchEngine(val store: IndexStore) {
     * change) keeps them out of the cache — a query never loses its own
     * data. The Spark collect for misses runs OUTSIDE the engine monitor so
     * one cold query cannot serialize every other query on this engine;
-    * inserts re-check the version token (never poison a newer cache). */
+    * inserts re-check the version token (never poison a newer cache).
+    *
+    * Version consistency: cache hits are captured under one version token
+    * and the miss collect runs unlocked, so a concurrent CRUD (notably a
+    * compact() that renumbers segments) landing in between would hand one
+    * query rows from TWO store versions. If the token moved while misses
+    * were fetched, the whole fetch (hits + misses) is retried once from the
+    * new version; a second concurrent bump is accepted (bounded retry —
+    * CRUD is rare relative to queries, and the tombstone filter still
+    * guards deletes either way). */
   private[search] def fetchShardRows(matched0: Seq[(String, String)]): Array[ShardRow] = {
     // dedupe: a duplicated pair would double-score its term
     val matched = matched0.distinct
     refreshIfStale()
     if (store.cfg.driverBlobCacheBytes <= 0) return collectRows(matched)
-    val (tok, hits, missKeys) = synchronized {
-      val h = Map.newBuilder[(String, String), Array[ShardRow]]
-      val m = Seq.newBuilder[(String, String)]
-      matched.foreach { key =>
-        val c = blobCache.get(key)
-        if (c != null) h += key -> c else m += key
+    def attempt(retriesLeft: Int): Array[ShardRow] = {
+      val (tok, hits, missKeys) = synchronized {
+        val h = Map.newBuilder[(String, String), Array[ShardRow]]
+        val m = Seq.newBuilder[(String, String)]
+        matched.foreach { key =>
+          val c = blobCache.get(key)
+          if (c != null) h += key -> c else m += key
+        }
+        (cacheToken, h.result(), m.result())
       }
-      (cacheToken, h.result(), m.result())
-    }
-    val fetched: Map[(String, String), Array[ShardRow]] =
-      if (missKeys.isEmpty) Map.empty
-      else collectRows(missKeys).groupBy(r => (r._1, r._2))
-    if (missKeys.nonEmpty) synchronized {
-      if (cacheToken == tok) {
-        missKeys.foreach { key =>
-          if (blobCache.get(key) == null) { // racing filler may have won
-            val rows = fetched.getOrElse(key, Array.empty[ShardRow])
-            blobCache.put(key, rows)
-            blobCacheSize += rows.iterator.map(rowBytes).sum
+      val fetched: Map[(String, String), Array[ShardRow]] =
+        if (missKeys.isEmpty) Map.empty
+        else collectRows(missKeys).groupBy(r => (r._1, r._2))
+      if (missKeys.nonEmpty) synchronized {
+        if (cacheToken == tok) {
+          missKeys.foreach { key =>
+            if (blobCache.get(key) == null) { // racing filler may have won
+              val rows = fetched.getOrElse(key, Array.empty[ShardRow])
+              blobCache.put(key, rows)
+              blobCacheSize += rows.iterator.map(rowBytes).sum
+            }
+          }
+          val it = blobCache.entrySet().iterator()
+          while (blobCacheSize > store.cfg.driverBlobCacheBytes && it.hasNext) {
+            val e = it.next()
+            blobCacheSize -= e.getValue.iterator.map(rowBytes).sum
+            it.remove()
           }
         }
-        val it = blobCache.entrySet().iterator()
-        while (blobCacheSize > store.cfg.driverBlobCacheBytes && it.hasNext) {
-          val e = it.next()
-          blobCacheSize -= e.getValue.iterator.map(rowBytes).sum
-          it.remove()
-        }
       }
+      val mixedVersions = missKeys.nonEmpty && hits.nonEmpty && {
+        refreshIfStale()
+        synchronized { cacheToken != tok }
+      }
+      if (mixedVersions && retriesLeft > 0) attempt(retriesLeft - 1)
+      else matched.iterator.flatMap(k =>
+        hits.getOrElse(k, fetched.getOrElse(k, Array.empty[ShardRow]))).toArray
     }
-    matched.iterator.flatMap(k =>
-      hits.getOrElse(k, fetched.getOrElse(k, Array.empty[ShardRow]))).toArray
+    attempt(1)
   }
 
   private[search] def cachedPostings(): DataFrame = { refreshIfStale(); postingsC }

@@ -30,14 +30,18 @@ object StreamingIndex {
     * Replay-idempotent via CLAIM MARKERS: before building, the batch writes
     * `graft-batch-<id>` in the checkpoint dir recording the segment id it
     * claimed (max committed + 1 at claim time). A replayed batch reads its
-    * marker back: segment already in the manifest → no-op; marker present
-    * but uncommitted → resume that segment's stage checkpoints. Claiming by
-    * marker (not by deriving ids from batchId) stays correct when
-    * non-stream `add()` calls commit their own segments BETWEEN stream
-    * runs — those take fresh ids and can never collide with a claim.
-    * Remaining contract: no concurrent writer while a batch is in flight
-    * (the reference's per-index mutation path is single-writer too,
-    * clustering.go:521-542). */
+    * marker back: marker present but uncommitted → resume that segment's
+    * stage checkpoints; segment already in the manifest → verify it is
+    * actually THIS batch (full-field fingerprint via
+    * [[graft.index.IndexStore.segmentMatches]]) before skipping. The
+    * verification closes a replay hole: if a batch crashes after writing
+    * its marker but before the manifest commit, a non-stream `add()`
+    * before the restart can commit its own segment under the claimed id —
+    * skipping on id alone would silently drop the batch's documents. On
+    * mismatch the batch re-claims a fresh id (persisted, so later replays
+    * resolve identically). Remaining contract: no concurrent writer while
+    * a batch is in flight (the reference's per-index mutation path is
+    * single-writer too, clustering.go:521-542). */
   def indexStream(spark: SparkSession, inputDir: String,
                   store: IndexStore): StreamingQuery = {
     import spark.implicits._
@@ -74,6 +78,12 @@ object StreamingIndex {
           }
           if (!store.segments.exists(_.id == segId)) {
             store.buildSegmentAt(segId, batch, resume = true); ()
+          } else if (!store.segmentMatches(segId, batch)) {
+            // claim collision (see scaladoc): the committed segment under
+            // our claimed id is NOT this batch — re-claim past it
+            val fresh = store.segments.map(_.id).max + 1
+            writeMarker(batchId, fresh)
+            store.buildSegmentAt(fresh, batch, resume = true); ()
           }
         }
       }
@@ -108,6 +118,35 @@ object StreamingIndex {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Append-mode, watermark-bounded variant of [[windowedEventCounts]]:
+    * the scale-correct shape for a real stream. A window's aggregate is
+    * emitted ONCE, when the watermark passes its end, and its state is then
+    * purged — state size is bounded by (open windows × event types), not by
+    * stream lifetime — and the sink is an append-only parquet directory,
+    * never a driver-materialized table. The trade: windows still open at
+    * the final watermark (end > max(ts) − 10 min) are not emitted until
+    * more data arrives — inherent to append mode, and exactly the bound the
+    * oracle query applies. (The complete/memory variant above is kept as
+    * the deterministic full-window oracle surface.) */
+  def windowedEventCountsAppend(spark: SparkSession, eventsDir: String,
+                                outDir: String): StreamingQuery =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(eventsDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", outDir + ".checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Stateful sessionization demo: flatMapGroupsWithState over user ids —
     * emits (user_id, n_events, total_value) per user with custom state,

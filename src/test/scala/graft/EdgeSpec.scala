@@ -242,6 +242,86 @@ class EdgeSpec extends AnyFunSuite {
     assert(!store.lastSegmentMatches(spark.createDataset(docs.take(24))))
     val mutated = docs.head.copy(content = docs.head.content + " extra") +: docs.tail
     assert(!store.lastSegmentMatches(spark.createDataset(mutated)))
+    // the fingerprint covers EVERY indexed field: a corpus whose content is
+    // identical but whose repo/lang metadata changed is NOT the same build
+    val metaMutated = docs.head.copy(repo = docs.head.repo + "x") +: docs.tail
+    assert(!store.lastSegmentMatches(spark.createDataset(metaMutated)),
+      "metadata-only change must not be declared a retry no-op")
+    val langMutated = docs.head.copy(lang = "zz") +: docs.tail
+    assert(!store.lastSegmentMatches(spark.createDataset(langMutated)))
+  }
+
+  test("distributed bulk delete (DataFrame of ids) equals the Seq path past the driver bound") {
+    val docs = CorpusGen.generate(spark, 80, seed = 41).collect().toSeq
+    val victims = docs.map(_.doc_id).filter(_ % 3 == 0)
+    // maxDriverTombstones = 3 << victims.size: the id set exceeds the driver
+    // bound, so both the delete AND every subsequent read run distributed
+    val cfg = IndexConfig(shardSpan = 32, fields = Seq("content"), maxDriverTombstones = 3)
+    assert(victims.size > 3)
+    def build(tag: String): IndexStore = {
+      val st = new IndexStore(spark, TestSpark.tempDir(tag), cfg)
+      st.createSegment(spark.createDataset(docs))
+      st
+    }
+    val viaSeq = build("bulkdel-seq")
+    viaSeq.delete(victims)
+    val viaDf = build("bulkdel-df")
+    viaDf.delete(victims.toDF("some_id_col")) // any column name, never collected
+    // idempotence: re-deleting the same ids (plus unknowns) via the DF path
+    // must not double-count df/stats corrections
+    viaDf.delete((victims ++ Seq(999999L)).toDF("some_id_col"))
+    assert(viaSeq.fieldStats() == viaDf.fieldStats())
+    assert(viaSeq.liveCorpus().count() == viaDf.liveCorpus().count())
+    Seq(("import the", SearchMode.Or), ("class def val", SearchMode.Wand),
+        ("import val", SearchMode.And)).foreach { case (q, mode) =>
+      val a = new SearchEngine(viaSeq).search(q, Seq("content"), k = 15, mode = mode)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      val b = new SearchEngine(viaDf).search(q, Seq("content"), k = 15, mode = mode)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(a == b, s"DataFrame-delete path diverges for [$q] $mode")
+      assert(b.forall { case (d, _) => d % 3 != 0 })
+    }
+  }
+
+  test("listApps runs at most ONE Spark job even with tombstoned apps") {
+    val reg = new graft.index.AppRegistry(spark, TestSpark.tempDir("appjobs"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    reg.app("a1").createSegment(CorpusGen.generate(spark, 20, seed = 1))
+    reg.app("a2").createSegment(CorpusGen.generate(spark, 25, seed = 2))
+    reg.app("a3").createSegment(CorpusGen.generate(spark, 30, seed = 3))
+    reg.app("a1").delete(Seq(0L, 1L))
+    reg.app("a2").delete(Seq(2L))
+    val sc = spark.sparkContext
+    sc.setJobGroup("list-apps", "catalog listing")
+    val rows = reg.listApps().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    sc.clearJobGroup()
+    Thread.sleep(500) // listener bus drain
+    val jobs = sc.statusTracker.getJobIdsForGroup("list-apps")
+    assert(jobs.length <= 1,
+      s"listApps must union all tombstone corrections into one job, ran ${jobs.length}")
+    assert(rows == Seq(("a1", 1L, 18L), ("a2", 1L, 24L), ("a3", 1L, 30L)))
+  }
+
+  test("prefix expansion at code-point boundaries: U+D7FF-adjacent and astral prefixes") {
+    val docs = Seq(
+      CorpusDoc(1L, "r", "p/1", "a" * 40, "en", "x퟾ab x퟿ab"),
+      CorpusDoc(2L, "r", "p/2", "b" * 40, "en", "😀park 😀xyz plain"))
+    val store = new IndexStore(spark, TestSpark.tempDir("astral"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(spark.createDataset(docs))
+    val eng = new SearchEngine(store)
+    // safe range: successor of U+D7FE is U+D7FF — must NOT swallow the
+    // U+D7FF term (the old (lo.last+1).toChar bound was wrong here)
+    assert(eng.expandPrefix("x퟾", Seq("content")).map(_._2) == Seq("x퟾ab"))
+    // U+D7FF prefix: successor would be a surrogate — startswith fallback
+    assert(eng.expandPrefix("x퟿", Seq("content")).map(_._2) == Seq("x퟿ab"))
+    // astral prefix (ends in a low surrogate): startswith fallback
+    assert(eng.expandPrefix("😀", Seq("content")).map(_._2).sorted ==
+      Seq("😀park", "😀xyz"))
+    val hits = eng.search("😀", Seq("content"), beginsWith = true, k = 5)
+      .collect().map(_.getLong(0))
+    assert(hits.toSeq == Seq(2L))
   }
 
   test("warm repeat query is served from driver caches with ZERO Spark jobs") {

@@ -163,6 +163,71 @@ class ExtraSpec extends AnyFunSuite {
     assert(a == b, "interleaved stream+add store must equal one batch build")
   }
 
+  test("replayed batch whose claimed seg id was taken by an add() re-claims, never skips") {
+    // The claim window: batch 0 wrote its marker (claiming seg 0) but
+    // crashed before the manifest commit; a non-stream add() then committed
+    // ITS OWN segment as seg 0. On restart the replayed batch must detect
+    // (by content fingerprint) that seg 0 is not its own and re-claim a
+    // fresh id — skipping on id alone would silently drop the batch.
+    val work = TestSpark.tempDir("claimcol")
+    val docs = CorpusGen.generate(spark, 20, seed = 29).collect().toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/stream"))
+    spark.createDataset(docs).coalesce(1).write.mode("overwrite").parquet(s"$work/tmp/c0")
+    val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$work/tmp/c0/*.parquet")).head.getPath
+    fs.rename(src, new org.apache.hadoop.fs.Path(s"$work/stream/c0.parquet"))
+    // pre-place the orphaned claim marker for batch 0
+    val ckpt = new org.apache.hadoop.fs.Path(s"$work/stream.checkpoint")
+    fs.mkdirs(ckpt)
+    val out = fs.create(new org.apache.hadoop.fs.Path(ckpt, "graft-batch-0"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    val cfg = IndexConfig(shardSpan = 64, fields = Seq("content"))
+    val store = new IndexStore(spark, s"$work/idx", cfg)
+    val stolen = Seq(CorpusDoc(8888L, "rs", "p/s", "s" * 40, "en", "graftstolen doc content"))
+    store.add(spark.createDataset(stolen)) // commits seg 0 under the claimed id
+    assert(store.segments.map(_.id) == Seq(0))
+    StreamingIndex.indexStream(spark, s"$work/stream", store).awaitTermination()
+    assert(store.segments.map(_.id).sorted == Seq(0, 1),
+      s"batch must land in a fresh segment, got ${store.segments}")
+    assert(store.segments.map(_.numDocs).sum == 21)
+    val eng = new SearchEngine(store)
+    assert(eng.search("graftstolen", Seq("content"), k = 5)
+      .collect().map(_.getLong(0)).toSeq == Seq(8888L))
+    assert(eng.search("import the", Seq("content"), k = 20).collect().nonEmpty)
+    // and a SECOND restart replaying the same batch is now a verified no-op
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/stream.checkpoint/commits/0"), false)
+    StreamingIndex.indexStream(spark, s"$work/stream", store).awaitTermination()
+    assert(store.segments.size == 2 && store.segments.map(_.numDocs).sum == 21)
+  }
+
+  test("append-mode windowed agg emits exactly the watermark-closed windows to a file sink") {
+    val work = TestSpark.tempDir("winappend")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/ev"))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path("/root/testdata/sf0.001/events.parquet"),
+      fs, new org.apache.hadoop.fs.Path(s"$work/ev/e0.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    StreamingIndex.windowedEventCountsAppend(spark, s"$work/ev", s"$work/sink")
+      .awaitTermination()
+    val got = spark.read.parquet(s"$work/sink")
+      .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+    // expected: the batch aggregation restricted to windows the FINAL
+    // watermark (max ts − 10 min) has closed — the append-mode bound
+    val ev = spark.read.schema(StreamingIndex.eventsSchema).parquet(s"$work/ev")
+    val maxEpoch = ev.agg(max(unix_timestamp($"ts"))).head.getLong(0)
+    val expected = ev
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select($"window.start".cast("long").as("window_start"),
+        $"event_type", $"n", round($"sum_value", 4).as("sum_value"))
+      .filter($"window_start" + 3600 <= maxEpoch - 600)
+      .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+    assert(got.nonEmpty, "append sink must contain closed windows")
+    assert(got == expected,
+      s"append output must equal the watermark-bounded batch agg (got ${got.size} vs ${expected.size})")
+  }
+
   test("windowed streaming agg equals batch aggregation") {
     val work = TestSpark.tempDir("winstream")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)

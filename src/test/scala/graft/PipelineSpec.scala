@@ -56,6 +56,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotChain.sameElements(Array(0L)), "whole chain is one component rooted at 0")
   }
 
+  test("dupGroups fails loudly past maxIters; checkpoint-dir variant agrees") {
+    // diameter-64 chain: label propagation alone would need 64 iterations;
+    // pointer doubling converges well within 12 — and an impossible budget
+    // must THROW, never silently return split components
+    val chain = (0 until 64).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](Dedup.dupGroups(chain, maxIters = 2))
+    assert(e.getMessage.contains("did not converge"))
+    val local = Dedup.dupGroups(chain, maxIters = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local.size == 65 && local.forall(_._2 == 0L))
+    // reliable-checkpoint variant (executor-loss-survivable lineage cut)
+    val ckdir = TestSpark.tempDir("cc-ckpt")
+    val reliable = Dedup.dupGroups(chain, maxIters = 12, checkpointDir = Some(ckdir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reliable == local)
+  }
+
+  test("simhash hot block-bucket is capped; pairs sharing a cold bucket survive") {
+    // synthetic hashes: 100 docs all sharing block 0 (low 15 bits = 0) but
+    // pairwise distinct in blocks 1-3 → ONE hot bucket would contribute
+    // C(100,2)=4950 candidates; plus an identical pair (200,201) that also
+    // shares cold buckets and must survive the cap
+    val mk = (v: Long) => (v << 15) | (v << 32) | (v << 47)
+    val hs = ((0 until 100).map(i => (i.toLong, mk(i.toLong))) ++
+      Seq((200L, mk(5000L)), (201L, mk(5000L)))).toDF("doc_id", "simhash")
+    val uncapped = Dedup.simHashCandidates(hs, maxDist = 3, maxBlockDf = 0)
+      .select("id_a", "id_b").distinct().count()
+    assert(uncapped >= 100L * 99 / 2, s"fixture must create a hot bucket, got $uncapped")
+    val capped = Dedup.simHashCandidates(hs, maxDist = 3, maxBlockDf = 10)
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((200L, 201L)),
+      s"cap must drop the hot bucket but keep cold-bucket candidates: $capped")
+    // end-to-end: the surviving identical pair is still found at distance 0
+    val pairs = Dedup.simHashPairsFromHashes(hs, maxDist = 3, maxBlockDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(pairs.toSeq == Seq((200L, 201L, 0L)))
+    // the shipped default cap never fires on the registered test corpora:
+    // default-capped results equal explicitly-uncapped results there
+    val withDefault = Dedup.simHashPairs(nearDup, maxDist = 7)
+      .collect().map(_.toString).sorted.toSeq
+    val noCap = Dedup.simHashPairs(nearDup, maxDist = 7, maxBlockDf = 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(withDefault == noCap)
+  }
+
   test("plan audit: no all-pairs join shape in any bucketed dedup/ANN plan") {
     // The 100 TB claim rests on every candidate join being keyed on a
     // bounded bucket. A Cartesian/broadcast-nested-loop join in the plan
