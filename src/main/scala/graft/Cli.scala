@@ -61,7 +61,9 @@ object Cli {
         // reaches the manifest, so its id stays max+1 and its partial stage
         // done-markers are reused when resume = true). A retry AFTER the
         // manifest already committed must be a no-op, not a duplicate
-        // segment: lastSegmentMatches compares per-doc sha fingerprints.
+        // segment: lastSegmentMatches fingerprints the stored segment corpus
+        // over ALL indexed fields (count + order-insensitive xxhash64), so
+        // even a metadata-only change is correctly treated as a new build.
         val segId =
           if (resume && store.lastSegmentMatches(corpus)) {
             println("[graft] resume: last committed segment already contains this corpus; nothing to do")

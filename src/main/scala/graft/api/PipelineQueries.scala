@@ -163,11 +163,14 @@ object PipelineQueries {
         val q = emb.filter(col("vec_id") < 8)
         val exact = Similarity.bruteForceTopK(q, emb, k = 5)
           .select(col("qid"), col("vec_id"))
-        val approx = ann(emb, q).select(col("qid"), col("vec_id"))
-        val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
-        exact.agg(countDistinct(col("qid")).as("n_queries"),
-            count(lit(1)).as("n_expected"))
-          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        val approx = ann(emb, q)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        // one pass over the brute-force subplan: left join + counting
+        // non-null hits (the (qid, vec_id) pairs are unique on both sides)
+        exact.join(approx, Seq("qid", "vec_id"), "left")
+          .agg(countDistinct(col("qid")).as("n_queries"),
+            count(lit(1)).as("n_expected"),
+            count(col("hit")).as("n_hits"))
           .select(col("n_queries"), col("n_expected"),
             (col("n_hits") >= col("n_expected") * 0.8).as("recall_ok"))
       },

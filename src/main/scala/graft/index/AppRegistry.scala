@@ -66,12 +66,12 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
   def listApps(): DataFrame = {
     val infos = appNames().map { name =>
       val store = app(name)
-      (name, store, store.segments, store.tombstoneCount())
+      (name, store.segments, store.tombstoneCount())
     }
-    val plain = infos.collect { case (name, _, segs, 0L) =>
+    val plain = infos.collect { case (name, segs, 0L) =>
       (name, segs.size.toLong, segs.map(_.numDocs).sum)
     }
-    val tombstoned = infos.filter(_._4 > 0L)
+    val tombstoned = infos.filter(_._3 > 0L)
     val corrected =
       if (tombstoned.isEmpty) Seq.empty[(String, Long, Long)]
       else {
@@ -84,13 +84,13 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
         // broadcast exchanges materialize as their own jobs too — shuffle
         // joins keep the whole correction union inside the single action
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val kills = tombstoned.map { case (name, _, _, _) =>
+        val kills = tombstoned.map { case (name, _, _) =>
             new IndexStore(s, s"$rootDir/$name", cfg)
               .killedDocCountDF().withColumn("app", lit(name))
           }.reduce(_ unionByName _)
           .collect().map(r => r.getAs[String]("app") -> r.getAs[Long]("n_killed"))
           .toMap
-        tombstoned.map { case (name, _, segs, _) =>
+        tombstoned.map { case (name, segs, _) =>
           (name, segs.size.toLong, segs.map(_.numDocs).sum - kills.getOrElse(name, 0L))
         }
       }

@@ -370,15 +370,44 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** True when the corpus stage written under `segId` — committed or not —
+    * fingerprints to exactly this corpus. Callers must ensure the stage
+    * exists ([[stageDone]] / manifest). */
+  def stagedCorpusMatches(segId: Int, corpus: Dataset[CorpusDoc]): Boolean =
+    corpusFingerprint(spark.read.parquet(p(s"seg-$segId", "corpus").toString)) ==
+      corpusFingerprint(corpus.toDF())
+
   /** True when committed segment `segId` indexes exactly this corpus (all
     * fields, order-insensitive) — two small aggregation jobs over the
     * stored segment corpus and the candidate batch. */
   def segmentMatches(segId: Int, corpus: Dataset[CorpusDoc]): Boolean =
-    segments.exists(s => s.id == segId && s.numDocs > 0) && {
-      val stored = corpusFingerprint(
-        spark.read.parquet(p(s"seg-$segId", "corpus").toString))
-      stored == corpusFingerprint(corpus.toDF())
-    }
+    segments.exists(s => s.id == segId && s.numDocs > 0) &&
+      stagedCorpusMatches(segId, corpus)
+
+  /** Deletes an UNCOMMITTED segment working directory (stage outputs +
+    * checkpoints). Refuses to touch a committed segment. */
+  def dropUncommittedSegmentDir(segId: Int): Unit = {
+    require(!segments.exists(_.id == segId),
+      s"seg-$segId is committed; dropUncommittedSegmentDir refuses to delete it")
+    fs.delete(p(s"seg-$segId"), true)
+    ()
+  }
+
+  /** Makes an UNCOMMITTED working dir at `segId` safe to resume-build with
+    * `corpus`: if any stage output exists but the corpus stage is absent or
+    * fingerprints to a different corpus, the leftovers are FOREIGN (a
+    * crashed writer that claimed the same id) and are wiped — resuming onto
+    * them would commit the wrong documents. Stages run concurrently, so any
+    * single stage can exist without the others; only a present-and-matching
+    * corpus stage proves ownership (and after a wipe, a fresh build can
+    * only leave own outputs — single writer in flight per the streaming
+    * contract). */
+  def prepareClaimedSegment(segId: Int, corpus: Dataset[CorpusDoc]): Unit = {
+    val stages = Seq("corpus", "docstats", "postings", "df", "fieldstats")
+    val anyStage = stages.exists(stageDone(segId, _))
+    lazy val own = stageDone(segId, "corpus") && stagedCorpusMatches(segId, corpus)
+    if (anyStage && !own) dropUncommittedSegmentDir(segId)
+  }
 
   /** True when the LAST committed segment indexes exactly this corpus —
     * lets a build retry that lands after the manifest commit become a no-op

@@ -165,21 +165,31 @@ object Dedup {
     * would return labels that are not the component minima).
     *
     * Lineage across iterations is truncated with `localCheckpoint` by
-    * default; pass `checkpointDir` to use reliable `checkpoint` instead so
-    * the computation survives executor loss on a real cluster. */
+    * default; pass `checkpointDir` to persist each round as parquet under
+    * that directory instead, so the computation survives executor loss on
+    * a real cluster. The directory holds at most three fixed datasets
+    * (edges + two alternating label rounds — bounded, not per-iteration);
+    * the RETURNED frame reads the last round, so the caller owns the
+    * directory's lifetime and deletes it after consuming the result.
+    * (Deliberately NOT `df.checkpoint`: that mutates the context-global
+    * checkpoint dir and leaks one never-cleaned snapshot per iteration.) */
   def dupGroups(pairs: DataFrame, maxIters: Int = 50,
                 checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    def ckpt(df: DataFrame, name: String): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val path = s"$dir/$name"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
     val edges = ckpt(pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
-      .distinct())
+      .distinct(), "edges")
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+      .withColumn("label", col("id")), "labels-0")
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -189,13 +199,16 @@ object Dedup {
       // representative may already point lower than any of my neighbors);
       // every label value is itself a node id, so this is a self-join
       val hop = labels.select(col("id").as("h_id"), col("label").as("hlabel"))
+      // rounds alternate between two fixed paths so the write never
+      // overwrites the parquet its own plan is reading
       val updated = ckpt(labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .join(hop, labels("label") === hop("h_id"), "left")
         .select(col("id"), col("label"),
           least(col("label"),
             coalesce(col("nlabel"), col("label")),
-            coalesce(col("hlabel"), col("label"))).as("next")))
+            coalesce(col("hlabel"), col("label"))).as("next")),
+        s"labels-${1 - iter % 2}")
       changed = updated.filter(col("next") < col("label")).count()
       labels = updated.select(col("id"), col("next").as("label"))
       iter += 1

@@ -53,7 +53,10 @@ class SearchEngine(val store: IndexStore) {
   /** Expands a `beginsWith` prefix to concrete index terms via a range scan
     * on the term-sorted df table — the analogue of the reference's radix
     * `WalkPrefix` with its 100-subtree cap (indexing.go:773-785). */
-  def expandPrefix(prefix: String, fields: Seq[String], cap: Int = 100): Seq[(String, String)] =
+  def expandPrefix(prefix: String, fields: Seq[String], cap: Int = 100): Seq[(String, String)] = {
+    // an empty prefix would "match" cap arbitrary terms — reject loudly
+    // (search() never passes one; tokenization drops empty terms)
+    require(prefix.nonEmpty, "prefix must be non-empty")
     cachedExpansion("p", prefix, fields, cap) {
       val lo = prefix.toLowerCase
       // Range pruning needs a successor string upper-bounding every
@@ -73,6 +76,7 @@ class SearchEngine(val store: IndexStore) {
         .select($"field", $"term").orderBy($"term", $"field").limit(cap)
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     }
+  }
 
   /** Fuzzy term expansion (reference FuzzySearch, indexing.go:689-709):
     * walk the dictionary subtree of the query's first character and keep

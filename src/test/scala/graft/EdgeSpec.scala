@@ -322,6 +322,8 @@ class EdgeSpec extends AnyFunSuite {
     val hits = eng.search("😀", Seq("content"), beginsWith = true, k = 5)
       .collect().map(_.getLong(0))
     assert(hits.toSeq == Seq(2L))
+    // empty prefix would otherwise "match" cap arbitrary terms — reject
+    intercept[IllegalArgumentException](eng.expandPrefix("", Seq("content")))
   }
 
   test("warm repeat query is served from driver caches with ZERO Spark jobs") {

@@ -200,6 +200,40 @@ class ExtraSpec extends AnyFunSuite {
     assert(store.segments.size == 2 && store.segments.map(_.numDocs).sum == 21)
   }
 
+  test("claimed seg id with FOREIGN uncommitted stage leftovers is wiped, not resumed") {
+    // sibling of the committed-collision case: a non-stream add() claimed
+    // the same id, wrote its stage outputs + done-markers, and crashed
+    // BEFORE the manifest commit. A replayed stream batch that resumed onto
+    // those markers would commit the add()'s documents as its own.
+    val work = TestSpark.tempDir("claimforeign")
+    val docs = CorpusGen.generate(spark, 20, seed = 31).collect().toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/stream"))
+    spark.createDataset(docs).coalesce(1).write.mode("overwrite").parquet(s"$work/tmp/c0")
+    val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$work/tmp/c0/*.parquet")).head.getPath
+    fs.rename(src, new org.apache.hadoop.fs.Path(s"$work/stream/c0.parquet"))
+    val cfg = IndexConfig(shardSpan = 64, fields = Seq("content"))
+    val store = new IndexStore(spark, s"$work/idx", cfg)
+    // crashed foreign add(): full stage outputs at seg 0, then roll back the
+    // manifest commit (the crash point) — stage done-markers remain
+    val foreign = Seq(CorpusDoc(9999L, "rf", "p/f", "f" * 40, "en", "graftforeign doc content"))
+    store.buildSegmentAt(0, spark.createDataset(foreign), resume = false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/idx/manifest.json"), false)
+    assert(store.segments.isEmpty && store.stageDone(0, "corpus"))
+    // orphaned claim marker for batch 0 claiming seg 0
+    val ckpt = new org.apache.hadoop.fs.Path(s"$work/stream.checkpoint")
+    fs.mkdirs(ckpt)
+    val out = fs.create(new org.apache.hadoop.fs.Path(ckpt, "graft-batch-0"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    StreamingIndex.indexStream(spark, s"$work/stream", store).awaitTermination()
+    assert(store.segments.map(_.id) == Seq(0))
+    assert(store.segments.head.numDocs == 20, "segment must hold the BATCH docs")
+    val eng = new SearchEngine(store)
+    assert(eng.search("graftforeign", Seq("content"), k = 5).isEmpty,
+      "foreign uncommitted docs must not be committed by the stream batch")
+    assert(eng.search("import the", Seq("content"), k = 10).collect().nonEmpty)
+  }
+
   test("append-mode windowed agg emits exactly the watermark-closed windows to a file sink") {
     val work = TestSpark.tempDir("winappend")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
