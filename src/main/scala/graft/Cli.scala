@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Cli app.jar search <indexDir> <k> <mode> <query...> [--boost field=w]...
   * spark-submit --class graft.Cli app.jar apps   <registryRoot>
   * spark-submit --class graft.Cli app.jar delete <indexDir> <docId,docId,...>
+  * spark-submit --class graft.Cli app.jar dedup  <indexDir> [--min-jaccard 0.9] [--dry-run]
   * spark-submit --class graft.Cli app.jar compact <indexDir>
   * spark-submit --class graft.Cli app.jar fields <indexDir>
   * }}}
@@ -104,6 +105,16 @@ object Cli {
         val store = new IndexStore(spark, args(1), IndexConfig())
         store.delete(args(2).split(",").map(_.trim.toLong).toSeq)
         println(s"[graft] tombstoned ${args(2)}")
+      case "dedup" =>
+        // near-dup sweep: LSH pairs → dup groups → distributed bulk delete
+        // of every non-keeper (ids stay a DataFrame end to end)
+        val minJ = args.sliding(2).collectFirst {
+          case Array("--min-jaccard", v) => v.toDouble }.getOrElse(0.9)
+        val dry = args.contains("--dry-run")
+        val store = new IndexStore(spark, args(1), IndexConfig())
+        val n = graft.pipeline.Dedup.sweepIndex(store, minJ, dryRun = dry)
+        println(s"[graft] near-dup sweep (jaccard >= $minJ): $n duplicate docs " +
+          (if (dry) "found (dry run)" else "tombstoned"))
       case "compact" =>
         new IndexStore(spark, args(1), IndexConfig()).compact()
         println("[graft] compacted")

@@ -149,6 +149,39 @@ object PipelineQueries {
        |FROM fps ORDER BY doc_id""".stripMargin
   }
 
+  /** One store per sf dir, built from the near-dup derived corpus and swept
+    * with [[Dedup.sweepIndex]] (LSH pairs → groups → distributed bulk
+    * delete) — the end-to-end dedup-maintains-the-index pipeline. */
+  private val sweepCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IndexStore]
+  private def sweptStore(s: SparkSession, dir: String): graft.index.IndexStore =
+    sweepCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      val corpus = nearDupDocs(s, dir).select(col("doc_id"),
+          lit("r").as("repo"), concat(lit("doc/"), col("doc_id")).as("path"),
+          lit("c").as("commit"), lit("en").as("lang"), col("text").as("content"))
+        .as[graft.core.CorpusDoc]
+      val store = new graft.index.IndexStore(s,
+        java.nio.file.Files.createTempDirectory("graft-sweep").toString,
+        graft.core.IndexConfig(shardSpan = 256, fields = Seq("content")))
+      store.createSegment(corpus)
+      Dedup.sweepIndex(store, minJaccard = 0.5)
+      store
+    })
+
+  /** SQL twin of the post-sweep live corpus: every doc except the non-keeper
+    * members of each connected Jaccard-≥-minJ component. */
+  private def sweepSql(docs: String, minJ: Double): String =
+    s"""WITH RECURSIVE ${jaccardCtes(docs, minJ)},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |          UNION SELECT id_b, id_a FROM p),
+       |reach AS (SELECT DISTINCT src AS id, src AS root FROM edges
+       |          UNION
+       |          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+       |victims AS (SELECT id FROM (SELECT id, min(root) AS keep FROM reach GROUP BY id)
+       |            WHERE id <> keep)
+       |SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT id FROM victims)
+       |ORDER BY doc_id""".stripMargin
+
   /** Driver-visible recall gate for an approximate ANN operator: runs the
     * ANN plan AND the exact brute-force plan over the same 8 query vectors
     * in one job, semi-joins the exact top-5 pairs against the approximate
@@ -220,6 +253,14 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b"),
       Some(simhashSql(nearDupSql, 7))),
+
+    // end-to-end sweep: dedup pipeline maintaining the index via the
+    // distributed bulk delete — live corpus after the sweep vs the
+    // recursive-CTE computation of "every doc minus non-keeper group members"
+    QueryDef("q_dedup_sweep",
+      (s, dir) => sweptStore(s, dir).liveCorpus()
+        .select(col("doc_id")).orderBy("doc_id"),
+      Some(sweepSql(nearDupSql, 0.5))),
 
     QueryDef("q_dedup_embedding",
       (s, dir) => Similarity.embeddingDupPairs(dupEmbeddings(s, dir),

@@ -220,6 +220,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
   }
 
+  /** End-to-end near-duplicate sweep over an index store's LIVE corpus:
+    * MinHash-LSH candidate pairs (exact-Jaccard verified) → connected
+    * components → tombstone every doc that is not its group's keeper
+    * (smallest doc_id), via the distributed bulk delete — the victim id
+    * set is a DataFrame end to end and never touches the driver. Returns
+    * the number of docs swept. `dryRun` counts without deleting.
+    *
+    * This is the pipeline the reference never had but a training-data
+    * corpus needs: dedup feeding index maintenance at table scale. */
+  def sweepIndex(store: graft.index.IndexStore, minJaccard: Double = 0.9,
+                 textField: String = "content", dryRun: Boolean = false): Long = {
+    val docs = store.liveCorpus().select(col("doc_id"), col(textField))
+    val pairs = minHashLshPairs(docs, textCol = textField, minJaccard = minJaccard)
+    // pin the victim set: delete()'s semi-join and the count below must not
+    // re-run the whole dedup pipeline (and a concurrent-ish re-read of the
+    // store inside delete() must see a FIXED victim list)
+    val victims = dupGroups(pairs)
+      .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+      .localCheckpoint(true)
+    val n = victims.count()
+    if (!dryRun && n > 0) store.delete(victims)
+    n
+  }
+
   // ---------- SimHash ----------
 
   /** SimHash width: 62 bits = two seeded 31-bit [[graft.functions.PortableHash]]

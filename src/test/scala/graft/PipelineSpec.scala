@@ -102,6 +102,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(withDefault == noCap)
   }
 
+  test("sweepIndex: near-dup sweep tombstones non-keepers via distributed bulk delete") {
+    import graft.core.{CorpusDoc, IndexConfig}
+    import graft.index.IndexStore
+    // 10 pairwise-disjoint docs + exact copies of 2 of them (higher ids)
+    val base = (0 until 10).map { i =>
+      CorpusDoc(i.toLong, "r", s"p/$i", "a" * 40, "en",
+        s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i")
+    }
+    val copies = Seq(3, 7).map(i => base(i).copy(doc_id = i + 100L, path = s"p/c$i"))
+    val store = new IndexStore(spark, TestSpark.tempDir("sweep"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(spark.createDataset(base ++ copies))
+    // dry run counts without deleting
+    assert(Dedup.sweepIndex(store, minJaccard = 0.5, dryRun = true) == 2)
+    assert(store.liveCorpus().count() == 12)
+    // real sweep: the higher-id copies are tombstoned, keepers survive
+    assert(Dedup.sweepIndex(store, minJaccard = 0.5) == 2)
+    val live = store.liveCorpus().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(live == (0 until 10).map(_.toLong).toSet)
+    // searching a duplicated doc's terms now returns only the keeper
+    val eng = new graft.search.SearchEngine(store)
+    val hits = eng.search("alpha3", Seq("content"), k = 5).collect().map(_.getLong(0))
+    assert(hits.toSeq == Seq(3L))
+    // idempotent: nothing left to sweep
+    assert(Dedup.sweepIndex(store, minJaccard = 0.5) == 0)
+  }
+
   test("plan audit: no all-pairs join shape in any bucketed dedup/ANN plan") {
     // The 100 TB claim rests on every candidate join being keyed on a
     // bounded bucket. A Cartesian/broadcast-nested-loop join in the plan
