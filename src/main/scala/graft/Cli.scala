@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Cli app.jar search <indexDir> <k> <mode> <query...> [--boost field=w]...
   * spark-submit --class graft.Cli app.jar apps   <registryRoot>
   * spark-submit --class graft.Cli app.jar delete <indexDir> <docId,docId,...>
-  * spark-submit --class graft.Cli app.jar dedup  <indexDir> [--min-jaccard 0.9] [--dry-run]
+  * spark-submit --class graft.Cli app.jar dedup  <indexDir> [--min-jaccard 0.9] [--dry-run] [--checkpoint-dir d]
   * spark-submit --class graft.Cli app.jar compact <indexDir>
   * spark-submit --class graft.Cli app.jar fields <indexDir>
   * }}}
@@ -111,8 +111,11 @@ object Cli {
         val minJ = args.sliding(2).collectFirst {
           case Array("--min-jaccard", v) => v.toDouble }.getOrElse(0.9)
         val dry = args.contains("--dry-run")
+        val ckpt = args.sliding(2).collectFirst {
+          case Array("--checkpoint-dir", v) => v }
         val store = new IndexStore(spark, args(1), IndexConfig())
-        val n = graft.pipeline.Dedup.sweepIndex(store, minJ, dryRun = dry)
+        val n = graft.pipeline.Dedup.sweepIndex(store, minJ, dryRun = dry,
+          checkpointDir = ckpt)
         println(s"[graft] near-dup sweep (jaccard >= $minJ): $n duplicate docs " +
           (if (dry) "found (dry run)" else "tombstoned"))
       case "compact" =>

@@ -230,15 +230,22 @@ object Dedup {
     * This is the pipeline the reference never had but a training-data
     * corpus needs: dedup feeding index maintenance at table scale. */
   def sweepIndex(store: graft.index.IndexStore, minJaccard: Double = 0.9,
-                 textField: String = "content", dryRun: Boolean = false): Long = {
+                 textField: String = "content", dryRun: Boolean = false,
+                 checkpointDir: Option[String] = None): Long = {
     val docs = store.liveCorpus().select(col("doc_id"), col(textField))
     val pairs = minHashLshPairs(docs, textCol = textField, minJaccard = minJaccard)
     // pin the victim set: delete()'s semi-join and the count below must not
     // re-run the whole dedup pipeline (and a concurrent-ish re-read of the
-    // store inside delete() must see a FIXED victim list)
-    val victims = dupGroups(pairs)
+    // store inside delete() must see a FIXED victim list). With a
+    // checkpointDir the pin survives executor loss, like dupGroups' rounds.
+    val victims0 = dupGroups(pairs, checkpointDir = checkpointDir)
       .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
-      .localCheckpoint(true)
+    val victims = checkpointDir match {
+      case Some(dir) =>
+        victims0.write.mode("overwrite").parquet(s"$dir/victims")
+        store.spark.read.parquet(s"$dir/victims")
+      case None => victims0.localCheckpoint(true)
+    }
     val n = victims.count()
     if (!dryRun && n > 0) store.delete(victims)
     n

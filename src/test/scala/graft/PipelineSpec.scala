@@ -125,8 +125,10 @@ class PipelineSpec extends AnyFunSuite {
     val eng = new graft.search.SearchEngine(store)
     val hits = eng.search("alpha3", Seq("content"), k = 5).collect().map(_.getLong(0))
     assert(hits.toSeq == Seq(3L))
-    // idempotent: nothing left to sweep
-    assert(Dedup.sweepIndex(store, minJaccard = 0.5) == 0)
+    // idempotent: nothing left to sweep (exercising the reliable-checkpoint
+    // variant of the sweep pipeline)
+    assert(Dedup.sweepIndex(store, minJaccard = 0.5,
+      checkpointDir = Some(TestSpark.tempDir("sweep-ckpt"))) == 0)
   }
 
   test("plan audit: no all-pairs join shape in any bucketed dedup/ANN plan") {
