@@ -22,7 +22,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: build|search|delete|compact|fields ...")
+    require(args.nonEmpty,
+      "usage: gen|build|search|sql|apps|delete|dedup|compact|fields ...")
     val spark = SparkSession.builder()
       .appName(s"graft-${args(0)}")
       .master(sys.props.getOrElse("spark.master",

@@ -153,8 +153,11 @@ object PipelineQueries {
     * with [[Dedup.sweepIndex]] (LSH pairs → groups → distributed bulk
     * delete) — the end-to-end dedup-maintains-the-index pipeline. */
   private val sweepCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IndexStore]
+  private val sweepLock = new Object
   private def sweptStore(s: SparkSession, dir: String): graft.index.IndexStore =
-    sweepCache.getOrElseUpdate(dir, {
+    // TrieMap.getOrElseUpdate may evaluate a racing thunk twice; this build
+    // is expensive (index build + full sweep), so serialize first builds
+    sweepCache.get(dir).getOrElse(sweepLock.synchronized(sweepCache.getOrElseUpdate(dir, {
       import s.implicits._
       val corpus = nearDupDocs(s, dir).select(col("doc_id"),
           lit("r").as("repo"), concat(lit("doc/"), col("doc_id")).as("path"),
@@ -166,7 +169,7 @@ object PipelineQueries {
       store.createSegment(corpus)
       Dedup.sweepIndex(store, minJaccard = 0.5)
       store
-    })
+    })))
 
   /** SQL twin of the post-sweep live corpus: every doc except the non-keeper
     * members of each connected Jaccard-≥-minJ component. */

@@ -144,6 +144,12 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
 
+    // A resume build must never adopt stage outputs a DIFFERENT crashed
+    // writer left at this id (stream batch vs add() claim races): verify
+    // ownership of any leftovers and wipe foreign ones first. On a
+    // committed id with mismatched content this fails loudly instead.
+    if (resume) prepareClaimedSegment(segId, corpus)
+
     // The three heavy, mutually independent jobs — corpus copy, docstats,
     // tokenize+shuffle+encode — are all submitted up front; the scheduler
     // fills every core with whichever has runnable tasks. All three read the
@@ -397,14 +403,17 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     * `corpus`: if any stage output exists but the corpus stage is absent or
     * fingerprints to a different corpus, the leftovers are FOREIGN (a
     * crashed writer that claimed the same id) and are wiped — resuming onto
-    * them would commit the wrong documents. Stages run concurrently, so any
+    * them would commit the wrong documents. "Any stage output" is detected
+    * by listing the `_checkpoints` marker dir, so a stage added to the
+    * build later is covered automatically. Stages run concurrently, so any
     * single stage can exist without the others; only a present-and-matching
     * corpus stage proves ownership (and after a wipe, a fresh build can
-    * only leave own outputs — single writer in flight per the streaming
-    * contract). */
+    * only leave own outputs — single writer in flight per contract).
+    * Invoked by [[buildSegmentAt]] on every resume build; cost when no
+    * leftovers exist is one FS listing. */
   def prepareClaimedSegment(segId: Int, corpus: Dataset[CorpusDoc]): Unit = {
-    val stages = Seq("corpus", "docstats", "postings", "df", "fieldstats")
-    val anyStage = stages.exists(stageDone(segId, _))
+    val markers = p(s"seg-$segId", "_checkpoints")
+    val anyStage = fs.exists(markers) && fs.listStatus(markers).nonEmpty
     lazy val own = stageDone(segId, "corpus") && stagedCorpusMatches(segId, corpus)
     if (anyStage && !own) dropUncommittedSegmentDir(segId)
   }

@@ -246,9 +246,20 @@ object Dedup {
         store.spark.read.parquet(s"$dir/victims")
       case None => victims0.localCheckpoint(true)
     }
-    val n = victims.count()
-    if (!dryRun && n > 0) store.delete(victims)
-    n
+    try {
+      val n = victims.count()
+      if (!dryRun && n > 0) store.delete(victims)
+      n
+    } finally {
+      // the sweep is the consuming caller of dupGroups' checkpoint contract:
+      // once the victim set has been applied, the directory's datasets
+      // (edges / label rounds / victims) are garbage — remove them
+      checkpointDir.foreach { dir =>
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+        fs.delete(path, true); ()
+      }
+    }
   }
 
   // ---------- SimHash ----------

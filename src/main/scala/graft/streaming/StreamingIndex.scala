@@ -77,11 +77,10 @@ object StreamingIndex {
             claimed
           }
           if (!store.segments.exists(_.id == segId)) {
-            // a crashed non-stream add() may have left FOREIGN uncommitted
-            // stage checkpoints at the claimed id; resuming onto them would
-            // commit the wrong documents as this batch — verify ownership
-            // and wipe foreign leftovers before building
-            store.prepareClaimedSegment(segId, batch)
+            // buildSegmentAt(resume) verifies ownership of any stage
+            // checkpoints a crashed writer left at the claimed id and wipes
+            // foreign ones — a replay can resume its OWN partial build but
+            // never adopt another writer's documents
             store.buildSegmentAt(segId, batch, resume = true); ()
           } else if (!store.segmentMatches(segId, batch)) {
             // claim collision (see scaladoc): the committed segment under

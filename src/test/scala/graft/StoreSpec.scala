@@ -29,6 +29,34 @@ class StoreSpec extends AnyFunSuite {
     assert(mtimes == before, "resume must not rerun completed stages")
   }
 
+  test("resume build onto FOREIGN uncommitted stage leftovers rebuilds, never adopts them") {
+    // a crashed writer (stream batch or another add()) left full stage
+    // outputs + done-markers at the id a resume build targets; the resume
+    // must wipe and rebuild from ITS corpus, not commit the foreign docs
+    val dir = TestSpark.tempDir("foreign-resume")
+    val store = new IndexStore(spark, dir, IndexConfig(shardSpan = 32, fields = Seq("content")))
+    val foreign = Seq(CorpusDoc(9999L, "rf", "p/f", "f" * 40, "en", "graftforeign doc content"))
+    store.buildSegmentAt(0, spark.createDataset(foreign), resume = false)
+    // roll back the manifest commit (the crash point); stage markers remain
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/manifest.json"), false)
+    assert(store.segments.isEmpty && store.stageDone(0, "corpus"))
+    val own = corpus(40, seed = 51).collect().toSeq
+    store.createSegment(spark.createDataset(own), resume = true)
+    assert(store.segments.map(_.id) == Seq(0))
+    assert(store.segments.head.numDocs == 40, "segment must hold the RESUMING corpus")
+    val eng = new SearchEngine(store)
+    assert(eng.search("graftforeign", Seq("content"), k = 5).isEmpty,
+      "foreign uncommitted docs must not be adopted by a resume build")
+    assert(eng.search("import the", Seq("content"), k = 10).collect().nonEmpty)
+    // and resuming with the SAME corpus again is a cheap stage-skip no-op
+    val mtime = new java.io.File(s"$dir/seg-0/_checkpoints/postings.json").lastModified()
+    Thread.sleep(1100)
+    store.buildSegmentAt(0, spark.createDataset(own), resume = true)
+    assert(new java.io.File(s"$dir/seg-0/_checkpoints/postings.json").lastModified() == mtime,
+      "own committed stages must still be reused on resume")
+  }
+
   test("resume recomputes only the missing stage, byte-identically") {
     val dir = TestSpark.tempDir("resume2")
     val store = new IndexStore(spark, dir, cfg)
