@@ -406,13 +406,18 @@ class SearchEngine(val store: IndexStore) {
     if (all.isEmpty) return all
     val fields = matched.map(_._1).distinct
     val terms = matched.map(_._2).distinct
-    // two parquet-pushable IN filters bound the scan; the exact (field, term)
-    // pair set is then enforced with a broadcast semi-join (matters only for
-    // prefix expansion, where the matched terms differ per field)
+    // two parquet-pushable IN filters bound the scan
     val bounded = all.filter(
       $"field".isInCollection(fields) && $"term".isInCollection(terms))
-    val pairs = broadcast(matched.toDF("field", "term"))
-    bounded.join(pairs, Seq("field", "term"), "left_semi")
+    // when the matched set IS the fields × terms cross product (every
+    // non-prefix query), the IN filters are already exact — skip the
+    // broadcast semi-join and its exchange/job. Prefix expansion, where
+    // matched terms differ per field, still enforces the exact pair set.
+    if (matched.size.toLong == fields.size.toLong * terms.size) bounded
+    else {
+      val pairs = broadcast(matched.toDF("field", "term"))
+      bounded.join(pairs, Seq("field", "term"), "left_semi")
+    }
   }
 
   private def exhaustive(qTerms: Seq[String], matched: Seq[(String, String)],
