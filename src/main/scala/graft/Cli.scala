@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Cli app.jar apps   <registryRoot>
   * spark-submit --class graft.Cli app.jar delete <indexDir> <docId,docId,...>
   * spark-submit --class graft.Cli app.jar dedup  <indexDir> [--min-jaccard 0.9] [--dry-run] [--checkpoint-dir d]
+  * spark-submit --class graft.Cli app.jar merge  <indexDir> [--max-docs n]
   * spark-submit --class graft.Cli app.jar compact <indexDir>
   * spark-submit --class graft.Cli app.jar fields <indexDir>
   * }}}
@@ -119,6 +120,15 @@ object Cli {
           checkpointDir = ckpt)
         println(s"[graft] near-dup sweep (jaccard >= $minJ): $n duplicate docs " +
           (if (dry) "found (dry run)" else "tombstoned"))
+      case "merge" =>
+        // LSM-style maintenance: fold micro-batch segments into one
+        val maxDocs = args.sliding(2).collectFirst {
+          case Array("--max-docs", v) => v.toLong }.getOrElse(1000000L)
+        new IndexStore(spark, args(1), IndexConfig())
+          .mergeSmallSegments(maxDocs) match {
+          case Some(id) => println(s"[graft] merged small segments into seg-$id")
+          case None => println("[graft] nothing to merge (fewer than 2 segments at or under the bound)")
+        }
       case "compact" =>
         new IndexStore(spark, args(1), IndexConfig()).compact()
         println("[graft] compacted")

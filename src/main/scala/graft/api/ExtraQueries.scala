@@ -90,6 +90,20 @@ object ExtraQueries {
       reg
     })
 
+  /** Store built as three batch segments then folded into ONE by
+    * mergeSmallSegments — merged scoring must equal a single batch build. */
+  private val mergeCache = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
+  private def mergedEngine(s: SparkSession, dir: String): SearchEngine =
+    mergeCache.getOrElseUpdate(dir, {
+      val store = new IndexStore(s, java.nio.file.Files.createTempDirectory("graft-merge").toString,
+        IndexConfig(shardSpan = 256, fields = Seq("content")))
+      val docs = Corpus.fromDocuments(s, dir)
+      (0 until 3).foreach(i => store.add(docs.filter(d => d.doc_id % 3 == i)))
+      store.mergeSmallSegments(Long.MaxValue)
+      require(store.segments.size == 1, s"merge must leave one segment: ${store.segments}")
+      new SearchEngine(store)
+    })
+
   private def roundHits(hits: DataFrame, k: Int): DataFrame =
     hits.select(col("doc_id"), round(col("score"), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id")).limit(k)
@@ -204,6 +218,14 @@ object ExtraQueries {
     QueryDef("q_stream_index",
       (s, dir) => roundHits(
         streamEngine(s, dir).search("spark join merge", Seq("content"),
+          k = 10, mode = SearchMode.Wand), 10),
+      Some(QueryRegistry.bm25Sql(Seq("spark", "join", "merge"), 10))),
+
+    // segment maintenance: three micro-batch segments folded into one by
+    // mergeSmallSegments must score exactly like a single batch build
+    QueryDef("q_merge_segments",
+      (s, dir) => roundHits(
+        mergedEngine(s, dir).search("spark join merge", Seq("content"),
           k = 10, mode = SearchMode.Wand), 10),
       Some(QueryRegistry.bm25Sql(Seq("spark", "join", "merge"), 10))),
 

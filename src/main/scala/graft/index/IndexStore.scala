@@ -139,7 +139,18 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
   }
 
   def buildSegmentAt(segId: Int, corpus: Dataset[CorpusDoc],
-                                    resume: Boolean): Int = {
+                     resume: Boolean): Int = {
+    val numDocs = buildSegmentStages(segId, corpus, resume)
+    writeManifest(segments.filterNot(_.id == segId) :+ SegmentInfo(segId, numDocs))
+    segId
+  }
+
+  /** Runs every build stage for `segId` WITHOUT committing the manifest —
+    * the commit is the caller's single atomic step, which lets
+    * [[mergeSmallSegments]] swap several segments for one in one manifest
+    * transition. Returns the segment's doc count. */
+  private def buildSegmentStages(segId: Int, corpus: Dataset[CorpusDoc],
+                                 resume: Boolean): Long = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -203,12 +214,44 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
         IndexBuilder.fieldStats(dfTable, numDocs).coalesce(1)
       }
       Await.result(docStatsF, Duration.Inf)
-
-      writeManifest(segments.filterNot(_.id == segId) :+ SegmentInfo(segId, numDocs))
-      segId
+      numDocs
     } finally {
       if (cfg.cacheBuild) { tfRows.unpersist(); () }
     }
+  }
+
+  /** Merges every committed segment with ≤ `maxDocs` docs into ONE new
+    * segment — the LSM-style maintenance for micro-batch ingest, where
+    * streaming commits a small segment per batch and per-query cost grows
+    * with segment count. Returns the new segment id, or None if fewer than
+    * two segments qualify.
+    *
+    * Requires a tombstone-free store: delete corrections (dfdelta /
+    * tombstats) are global and cannot be re-attributed when their source
+    * segments disappear — with deletions pending, run [[compact]], which
+    * rewrites everything and clears them.
+    *
+    * Crash-safe: stages build under the next free id with the manifest
+    * untouched (a crashed merge leaves an uncommitted dir that the
+    * ownership check wipes or resumes); the swap — merged segments out,
+    * new segment in — is ONE manifest write; orphaned merged directories
+    * after the commit are invisible to readers (manifest-driven) and are
+    * removed best-effort last. */
+  def mergeSmallSegments(maxDocs: Long): Option[Int] = {
+    require(tombstoneCount() == 0L,
+      "mergeSmallSegments requires a tombstone-free store; run compact() instead")
+    val all = segments
+    val small = all.filter(_.numDocs <= maxDocs)
+    if (small.size < 2) return None
+    val newId = all.map(_.id).max + 1
+    val merged = small.map(s =>
+        spark.read.parquet(p(s"seg-${s.id}", "corpus").toString))
+      .reduce(_ unionByName _).as[CorpusDoc]
+    val numDocs = buildSegmentStages(newId, merged, resume = true)
+    val smallIds = small.map(_.id).toSet
+    writeManifest(all.filterNot(s => smallIds.contains(s.id)) :+ SegmentInfo(newId, numDocs))
+    smallIds.foreach(id => fs.delete(p(s"seg-$id"), true))
+    Some(newId)
   }
 
   // ---------- readers ----------

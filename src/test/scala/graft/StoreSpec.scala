@@ -136,6 +136,38 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeSmallSegments folds micro-batch segments; results identical; big segs kept") {
+    val docs = CorpusGen.generate(spark, 200, seed = 71).collect().toSeq
+    val c = IndexConfig(shardSpan = 32, fields = Seq("content"))
+    val store = new IndexStore(spark, TestSpark.tempDir("merge"), c)
+    // one "big" segment + eight micro-batch segments
+    store.add(spark.createDataset(docs.take(120)))
+    docs.drop(120).grouped(10).foreach(b => store.add(spark.createDataset(b)))
+    assert(store.segments.size == 9)
+    val twin = new IndexStore(spark, TestSpark.tempDir("merge-twin"), c)
+    twin.createSegment(spark.createDataset(docs))
+    def results(s: IndexStore) =
+      new SearchEngine(s).search("import the", Seq("content"), k = 15, mode = SearchMode.Wand)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val before = results(store)
+    assert(before == results(twin))
+    val merged = store.mergeSmallSegments(maxDocs = 50)
+    assert(merged.nonEmpty)
+    assert(store.segments.size == 2, s"big + merged, got ${store.segments}")
+    assert(store.segments.map(_.numDocs).sorted == Seq(80L, 120L))
+    assert(results(store) == before, "merge must not change search results")
+    // idempotent: only one segment remains at or under the bound
+    assert(store.mergeSmallSegments(maxDocs = 50).isEmpty)
+    // merged directories are gone from disk
+    val live = store.segments.map(_.id).toSet
+    val segDirs = new java.io.File(store.baseDir).listFiles()
+      .filter(_.getName.startsWith("seg-")).map(_.getName.stripPrefix("seg-").toInt).toSet
+    assert(segDirs == live, s"orphan segment dirs: ${segDirs -- live}")
+    // with tombstones pending, merge refuses and points at compact()
+    store.delete(Seq(docs.head.doc_id))
+    intercept[IllegalArgumentException](store.mergeSmallSegments(maxDocs = 1000))
+  }
+
   test("compaction preserves search results and clears tombstones") {
     val dir = TestSpark.tempDir("compact")
     val store = new IndexStore(spark, dir, cfg)
