@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
 object Cli {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: gen|build|search|sql|apps|delete|dedup|compact|fields ...")
+      "usage: gen|build|search|sql|apps|delete|dedup|merge|compact|fields ...")
     val spark = SparkSession.builder()
       .appName(s"graft-${args(0)}")
       .master(sys.props.getOrElse("spark.master",
@@ -98,13 +98,14 @@ object Cli {
             ai += 2
           } else { queryToks += rest(ai); ai += 1 }
         }
-        val engine = new SearchEngine(new IndexStore(spark, indexDir, IndexConfig()))
+        // open() adopts the persisted storage layout (shardSpan, fields)
+        val engine = new SearchEngine(IndexStore.open(spark, indexDir))
         engine.searchDocs(queryToks.mkString(" "), k = k, mode = mode,
           boosts = boosts.toMap).show(k, truncate = 80)
       case "apps" =>
         new graft.index.AppRegistry(spark, args(1)).listApps().show(100)
       case "delete" =>
-        val store = new IndexStore(spark, args(1), IndexConfig())
+        val store = IndexStore.open(spark, args(1))
         store.delete(args(2).split(",").map(_.trim.toLong).toSeq)
         println(s"[graft] tombstoned ${args(2)}")
       case "dedup" =>
@@ -115,7 +116,7 @@ object Cli {
         val dry = args.contains("--dry-run")
         val ckpt = args.sliding(2).collectFirst {
           case Array("--checkpoint-dir", v) => v }
-        val store = new IndexStore(spark, args(1), IndexConfig())
+        val store = IndexStore.open(spark, args(1))
         val n = graft.pipeline.Dedup.sweepIndex(store, minJ, dryRun = dry,
           checkpointDir = ckpt)
         println(s"[graft] near-dup sweep (jaccard >= $minJ): $n duplicate docs " +
@@ -124,20 +125,19 @@ object Cli {
         // LSM-style maintenance: fold micro-batch segments into one
         val maxDocs = args.sliding(2).collectFirst {
           case Array("--max-docs", v) => v.toLong }.getOrElse(1000000L)
-        new IndexStore(spark, args(1), IndexConfig())
-          .mergeSmallSegments(maxDocs) match {
+        IndexStore.open(spark, args(1)).mergeSmallSegments(maxDocs) match {
           case Some(id) => println(s"[graft] merged small segments into seg-$id")
           case None => println("[graft] nothing to merge (fewer than 2 segments at or under the bound)")
         }
       case "compact" =>
-        new IndexStore(spark, args(1), IndexConfig()).compact()
+        IndexStore.open(spark, args(1)).compact()
         println("[graft] compacted")
       case "fields" =>
-        new IndexStore(spark, args(1), IndexConfig()).listFields().show(100)
+        IndexStore.open(spark, args(1)).listFields().show(100)
       case "sql" =>
         // registers the store's tables as views and runs arbitrary SQL —
         // graft's functions (posting_explode, via GraftExtensions) included
-        val store = new IndexStore(spark, args(1), IndexConfig())
+        val store = IndexStore.open(spark, args(1))
         store.postings().createOrReplaceTempView("postings")
         store.termDf().createOrReplaceTempView("df")
         store.corpus().createOrReplaceTempView("corpus")

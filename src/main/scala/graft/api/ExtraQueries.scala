@@ -98,7 +98,7 @@ object ExtraQueries {
       val store = new IndexStore(s, java.nio.file.Files.createTempDirectory("graft-merge").toString,
         IndexConfig(shardSpan = 256, fields = Seq("content")))
       val docs = Corpus.fromDocuments(s, dir)
-      (0 until 3).foreach(i => store.add(docs.filter(d => d.doc_id % 3 == i)))
+      (0 until 3).foreach(i => store.add(docs.filter(col("doc_id") % 3 === i)))
       store.mergeSmallSegments(Long.MaxValue)
       require(store.segments.size == 1, s"merge must leave one segment: ${store.segments}")
       new SearchEngine(store)

@@ -39,6 +39,25 @@ import org.apache.spark.sql.functions._
   * (indexing.go:669-687); compact() re-builds one segment from live docs
   * (the scale answer to editing compressed blobs in place, SURVEY.md §7.4).
   */
+object IndexStore {
+  /** Opens an existing store, adopting its PERSISTED storage-layout config
+    * (shardSpan, fields) from the manifest so maintenance and queries stay
+    * consistent with how the segments were built — the CLI must never
+    * re-encode with defaults that differ from the original build. `base`
+    * supplies the query-side knobs (bm25, cache bounds); its layout fields
+    * are overridden by the manifest when present (older manifests without
+    * a config block fall back to `base` unchanged). */
+  def open(spark: SparkSession, baseDir: String,
+           base: IndexConfig = IndexConfig()): IndexStore = {
+    val probe = new IndexStore(spark, baseDir, base)
+    val cfg = probe.persistedLayout() match {
+      case Some((span, fields)) => base.copy(shardSpan = span, fields = fields)
+      case None => base
+    }
+    new IndexStore(spark, baseDir, cfg)
+  }
+}
+
 class IndexStore(val spark: SparkSession, val baseDir: String,
                  val cfg: IndexConfig = IndexConfig()) {
   import spark.implicits._
@@ -55,10 +74,7 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     val mf = p("manifest.json")
     if (!fs.exists(mf)) Seq.empty
     else {
-      val in = fs.open(mf)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-      val segs = node.get("segments")
+      val segs = manifestNode().get("segments")
       (0 until segs.size()).map { i =>
         val s = segs.get(i)
         SegmentInfo(s.get("id").asInt(), s.get("numDocs").asLong())
@@ -66,9 +82,35 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     }
   }
 
+  private def manifestNode(): com.fasterxml.jackson.databind.JsonNode = {
+    val in = fs.open(p("manifest.json"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+  }
+
+  /** (shardSpan, fields) persisted in the manifest, if present. */
+  private[index] def persistedLayout(): Option[(Long, Seq[String])] = {
+    if (!fs.exists(p("manifest.json"))) return None
+    val node = manifestNode()
+    Option(node.get("config")).map { c =>
+      val fs0 = c.get("fields")
+      (c.get("shardSpan").asLong(),
+        (0 until fs0.size()).map(i => fs0.get(i).asText()))
+    }
+  }
+
+  /** The manifest also persists the STORAGE-LAYOUT half of the config
+    * (shardSpan, fields) so later maintenance (CLI merge/compact/delete on
+    * a store built elsewhere) reconstructs segments consistently — a merge
+    * that re-encoded with a different shardSpan would leave mixed shard
+    * geometries that double-report docs in WAND's per-shard group walk.
+    * Query-side knobs (bm25, caches, bounds) are NOT persisted. */
   private def writeManifest(segs: Seq[SegmentInfo]): Unit = {
-    val json = segs.map(s => s"""{"id":${s.id},"numDocs":${s.numDocs}}""")
-      .mkString("""{"segments":[""", ",", "]}")
+    val fieldsJson = cfg.fields.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"config":{"shardSpan":${cfg.shardSpan},"fields":$fieldsJson},""" +
+      segs.map(s => s"""{"id":${s.id},"numDocs":${s.numDocs}}""")
+        .mkString(""""segments":[""", ",", "]}")
     val out = fs.create(p("manifest.json"), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -247,7 +289,23 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     val merged = small.map(s =>
         spark.read.parquet(p(s"seg-${s.id}", "corpus").toString))
       .reduce(_ unionByName _).as[CorpusDoc]
-    val numDocs = buildSegmentStages(newId, merged, resume = true)
+    // honor the extreme-scale cache rule (see IndexConfig.cacheBuild): the
+    // merged volume may far exceed any one micro-batch — re-tokenize per
+    // consumer instead of persisting 2x the corpus when it can't fit
+    val mergedBytes = small.map(s =>
+      fs.getContentSummary(p(s"seg-${s.id}", "corpus")).getLength).sum
+    val buildStore =
+      if (!cfg.cacheBuild || mergedBytes * 3 >= Runtime.getRuntime.maxMemory)
+        new IndexStore(spark, baseDir, cfg.copy(cacheBuild = false))
+      else this
+    val numDocs = buildStore.buildSegmentStages(newId, merged, resume = true)
+    // merge is a single-writer maintenance op (like compact and the
+    // streaming contract); this re-check narrows — not closes — the window
+    // in which a concurrent delete's tombstones (max_seg < newId) would be
+    // out-flanked by the re-homed docs
+    require(tombstoneCount() == 0L,
+      "a delete landed during the merge build; merge aborted (uncommitted " +
+        "stage dir will be reclaimed by the next build) — run compact()")
     val smallIds = small.map(_.id).toSet
     writeManifest(all.filterNot(s => smallIds.contains(s.id)) :+ SegmentInfo(newId, numDocs))
     smallIds.foreach(id => fs.delete(p(s"seg-$id"), true))

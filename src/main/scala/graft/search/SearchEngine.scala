@@ -401,7 +401,8 @@ class SearchEngine(val store: IndexStore) {
 
   /** Selects only the shards of the matched terms — equality pushdown on the
     * (field, term)-sorted postings table. */
-  def matchedShards(matched: Seq[(String, String)]): DataFrame = {
+  def matchedShards(matched0: Seq[(String, String)]): DataFrame = {
+    val matched = matched0.distinct // duplicates would fool the cross-product check
     val all = cachedPostings()
     if (all.isEmpty) return all
     val fields = matched.map(_._1).distinct

@@ -136,6 +136,26 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("IndexStore.open adopts the persisted storage layout (shardSpan, fields)") {
+    val dir = TestSpark.tempDir("layout")
+    val built = new IndexStore(spark, dir,
+      IndexConfig(shardSpan = 256, fields = Seq("content", "lang")))
+    built.createSegment(corpus(20, seed = 61))
+    val opened = IndexStore.open(spark, dir)
+    assert(opened.cfg.shardSpan == 256 && opened.cfg.fields == Seq("content", "lang"),
+      s"open() must adopt the built layout, got ${opened.cfg}")
+    // query-side knobs come from the caller's base config, not the manifest
+    val tuned = IndexStore.open(spark, dir, IndexConfig(driverWandMaxBytes = 0))
+    assert(tuned.cfg.shardSpan == 256 && tuned.cfg.driverWandMaxBytes == 0)
+    // a legacy manifest without a config block falls back to the base config
+    val legacyDir = TestSpark.tempDir("layout-legacy")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$legacyDir/manifest.json"), true)
+    out.write("""{"segments":[]}""".getBytes("UTF-8")); out.close()
+    val legacy = IndexStore.open(spark, legacyDir)
+    assert(legacy.cfg == IndexConfig())
+  }
+
   test("mergeSmallSegments folds micro-batch segments; results identical; big segs kept") {
     val docs = CorpusGen.generate(spark, 200, seed = 71).collect().toSeq
     val c = IndexConfig(shardSpan = 32, fields = Seq("content"))
