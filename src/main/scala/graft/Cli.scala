@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Cli app.jar apps   <registryRoot>
   * spark-submit --class graft.Cli app.jar delete <indexDir> <docId,docId,...>
   * spark-submit --class graft.Cli app.jar dedup  <indexDir> [--min-jaccard 0.9] [--dry-run] [--checkpoint-dir d]
+  * spark-submit --class graft.Cli app.jar stream <inputDir> <indexDir>
   * spark-submit --class graft.Cli app.jar merge  <indexDir> [--max-docs n]
   * spark-submit --class graft.Cli app.jar compact <indexDir>
   * spark-submit --class graft.Cli app.jar fields <indexDir>
@@ -24,7 +25,7 @@ import org.apache.spark.sql.SparkSession
 object Cli {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: gen|build|search|sql|apps|delete|dedup|merge|compact|fields ...")
+      "usage: gen|build|search|sql|apps|stream|delete|dedup|merge|compact|fields ...")
     val spark = SparkSession.builder()
       .appName(s"graft-${args(0)}")
       .master(sys.props.getOrElse("spark.master",
@@ -121,6 +122,16 @@ object Cli {
           checkpointDir = ckpt)
         println(s"[graft] near-dup sweep (jaccard >= $minJ): $n duplicate docs " +
           (if (dry) "found (dry run)" else "tombstoned"))
+      case "stream" =>
+        // micro-batch streaming ingest: every parquet file that appears in
+        // <inputDir> commits one segment (replay-idempotent, claim-verified);
+        // AvailableNow drains what is present and exits — re-run on arrival,
+        // or keep a long-lived session for continuous ingest
+        val store = IndexStore.open(spark, args(2))
+        graft.streaming.StreamingIndex.indexStream(spark, args(1), store)
+          .awaitTermination()
+        println(s"[graft] stream drained: ${store.segments.size} segments, " +
+          s"${store.segments.map(_.numDocs).sum} docs")
       case "merge" =>
         // LSM-style maintenance: fold micro-batch segments into one
         val maxDocs = args.sliding(2).collectFirst {
