@@ -199,6 +199,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash block-pair keys: random hashes, every wide distance == brute force") {
+    // the maxDist >= 5 pair scheme must be exactly recall-complete on
+    // arbitrary hash values, not just the test corpus: seeded random 62-bit
+    // hashes with planted near-neighbors, checked against brute force
+    val rnd = new java.util.Random(1234)
+    val base = (0 until 300).map(i => (i.toLong, rnd.nextLong() & ((1L << 62) - 1)))
+    val planted = (0 until 40).map { i => // flip a few random bits of a base hash
+      var v = base(rnd.nextInt(base.size))._2
+      (0 until rnd.nextInt(8)).foreach(_ => v ^= 1L << rnd.nextInt(62))
+      (1000L + i, v)
+    }
+    val hs = (base ++ planted).toDF("doc_id", "simhash")
+    val all = (base ++ planted)
+    Seq(5, 6, 7).foreach { d =>
+      val got = Dedup.simHashPairsFromHashes(hs, maxDist = d, maxBlockDf = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (a, ha) <- all; (b, hb) <- all
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= d
+      } yield (a, b)).toSet
+      assert(got == brute,
+        s"maxDist=$d: missed ${brute -- got}, extra ${got -- brute}")
+      assert(brute.nonEmpty, "planted neighbors must create pairs")
+    }
+  }
+
   test("LSH ANN recall@5 vs brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val qs = emb.filter($"vec_id" < 8)
