@@ -35,9 +35,11 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
     name
   }
 
-  /** The app's store (creates nothing until a segment commits). */
+  /** The app's store (creates nothing until a segment commits). An existing
+    * app adopts its persisted storage layout; a new one uses this
+    * registry's config. */
   def app(name: String): IndexStore =
-    new IndexStore(spark, s"$rootDir/${validate(name)}", cfg)
+    IndexStore.open(spark, s"$rootDir/${validate(name)}", cfg)
 
   def exists(name: String): Boolean =
     fs.exists(new Path(s"$rootDir/${validate(name)}/manifest.json"))

@@ -191,6 +191,22 @@ class EdgeSpec extends AnyFunSuite {
     assert(reg.appNames() == Seq("beta"), "compact work dirs must not list as apps")
   }
 
+  test("app registry: existing apps adopt their persisted layout, new apps use the registry cfg") {
+    val root = TestSpark.tempDir("appslayout")
+    new graft.index.AppRegistry(spark, root,
+      IndexConfig(shardSpan = 64, fields = Seq("content", "lang")))
+      .app("alpha").createSegment(CorpusGen.generate(spark, 15, seed = 3))
+    // reopen the registry under a DIFFERENT default layout: alpha must keep
+    // the layout its segments were encoded with, a fresh app must not
+    val reg2 = new graft.index.AppRegistry(spark, root, IndexConfig(shardSpan = 512))
+    val alpha = reg2.app("alpha")
+    assert(alpha.cfg.shardSpan == 64 && alpha.cfg.fields == Seq("content", "lang"),
+      s"existing app must adopt its persisted layout, got ${alpha.cfg}")
+    assert(reg2.app("gamma").cfg.shardSpan == 512)
+    // and the adopted store still serves queries over its old-layout segments
+    assert(new SearchEngine(alpha).search("the", Seq("content"), k = 5).count() > 0)
+  }
+
   test("concurrent queries on one engine: parallel cache fills agree with sequential") {
     val docs = CorpusGen.generate(spark, 120, seed = 31).collect().toSeq
     val store = new IndexStore(spark, TestSpark.tempDir("conc"),
