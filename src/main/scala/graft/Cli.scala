@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Cli app.jar apps   <registryRoot>
   * spark-submit --class graft.Cli app.jar delete <indexDir> <docId,docId,...>
   * spark-submit --class graft.Cli app.jar dedup  <indexDir> [--min-jaccard 0.9] [--dry-run] [--checkpoint-dir d]
-  * spark-submit --class graft.Cli app.jar stream <inputDir> <indexDir>
+  * spark-submit --class graft.Cli app.jar stream <inputDir> <indexDir> [--checkpoint-dir d]
   * spark-submit --class graft.Cli app.jar merge  <indexDir> [--max-docs n]
   * spark-submit --class graft.Cli app.jar compact <indexDir>
   * spark-submit --class graft.Cli app.jar fields <indexDir>
@@ -127,11 +127,17 @@ object Cli {
         // <inputDir> commits one segment (replay-idempotent, claim-verified);
         // AvailableNow drains what is present and exits — re-run on arrival,
         // or keep a long-lived session for continuous ingest
+        val ckpt = args.sliding(2).collectFirst {
+          case Array("--checkpoint-dir", v) => v }
         val store = IndexStore.open(spark, args(2))
-        graft.streaming.StreamingIndex.indexStream(spark, args(1), store)
+        val before = store.segments.map(_.id).toSet
+        graft.streaming.StreamingIndex.indexStream(spark, args(1), store, ckpt)
           .awaitTermination()
-        println(s"[graft] stream drained: ${store.segments.size} segments, " +
-          s"${store.segments.map(_.numDocs).sum} docs")
+        val after = store.segments
+        val fresh = after.filterNot(s => before(s.id))
+        println(s"[graft] stream drained: ${fresh.size} new segments, " +
+          s"${fresh.map(_.numDocs).sum} docs ingested (store total: " +
+          s"${after.size} segments, ${after.map(_.numDocs).sum} docs)")
       case "merge" =>
         // LSM-style maintenance: fold micro-batch segments into one
         val maxDocs = args.sliding(2).collectFirst {

@@ -67,7 +67,11 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
     * A 10^4-app catalog listing must not schedule 10^4 count jobs. */
   def listApps(): DataFrame = {
     val infos = appNames().map { name =>
-      val store = app(name)
+      // raw constructor, not app(): the listing reads only the manifest's
+      // segment list and tombstone footers — both layout-independent — so
+      // open()'s extra per-app manifest probe would double the driver-side
+      // FS round-trips of a large catalog for nothing
+      val store = new IndexStore(spark, s"$rootDir/$name", cfg)
       (name, store.segments, store.tombstoneCount())
     }
     val plain = infos.collect { case (name, segs, 0L) =>

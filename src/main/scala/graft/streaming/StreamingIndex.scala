@@ -42,10 +42,21 @@ object StreamingIndex {
     * resolve identically). Remaining contract: no concurrent writer while
     * a batch is in flight (the reference's per-index mutation path is
     * single-writer too, clustering.go:521-542). */
-  def indexStream(spark: SparkSession, inputDir: String,
-                  store: IndexStore): StreamingQuery = {
+  /** Default checkpoint location for [[indexStream]]: keyed to BOTH the
+    * store and the input directory, because the checkpoint records which
+    * input files THIS STORE has already ingested. Keyed to the input alone,
+    * a second store fed from the same directory would find every file
+    * already marked consumed and silently ingest nothing. */
+  def defaultCheckpointDir(inputDir: String, store: IndexStore): String = {
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(inputDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${store.baseDir}.stream-$tag.checkpoint"
+  }
+
+  def indexStream(spark: SparkSession, inputDir: String, store: IndexStore,
+                  checkpoint: Option[String] = None): StreamingQuery = {
     import spark.implicits._
-    val checkpointDir = inputDir + ".checkpoint"
+    val checkpointDir = checkpoint.getOrElse(defaultCheckpointDir(inputDir, store))
     val fs = new org.apache.hadoop.fs.Path(checkpointDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def markerPath(batchId: Long) =

@@ -116,11 +116,33 @@ class ExtraSpec extends AnyFunSuite {
     // simulate a crash AFTER the last segment's manifest commit but BEFORE
     // the stream checkpoint commit: drop the commit marker so the restarted
     // stream replays batch 2 — the replay must be a no-op
-    fs.delete(new org.apache.hadoop.fs.Path(s"$work/stream.checkpoint/commits/2"), false)
+    val ckptDir = StreamingIndex.defaultCheckpointDir(s"$work/stream", store)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckptDir/commits/2"), false)
     StreamingIndex.indexStream(spark, s"$work/stream", store).awaitTermination()
     assert(store.segments.size == 3, "replayed batch must not append a duplicate segment")
     assert(store.segments.map(_.numDocs).sum == nDocsBefore)
     assert(results == before, "df/fieldstats must not be double-counted by replay")
+  }
+
+  test("two stores fed from the same input dir each ingest fully (checkpoint keyed to the store)") {
+    // the checkpoint records what THIS STORE consumed; keyed to the input
+    // alone, store B would see every file already marked consumed and
+    // silently ingest nothing
+    val work = TestSpark.tempDir("twostores")
+    val docs = CorpusGen.generate(spark, 30, seed = 37)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$work/tmp/c0")
+    val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$work/tmp/c0/*.parquet")).head.getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/stream"))
+    fs.rename(src, new org.apache.hadoop.fs.Path(s"$work/stream/c0.parquet"))
+    val cfg = IndexConfig(shardSpan = 64, fields = Seq("content"))
+    val a = new IndexStore(spark, s"$work/idxA", cfg)
+    StreamingIndex.indexStream(spark, s"$work/stream", a).awaitTermination()
+    assert(a.segments.map(_.numDocs).sum == 30)
+    val b = new IndexStore(spark, s"$work/idxB", cfg)
+    StreamingIndex.indexStream(spark, s"$work/stream", b).awaitTermination()
+    assert(b.segments.map(_.numDocs).sum == 30,
+      "second store must not inherit the first store's checkpoint")
   }
 
   test("stream restart after a manual add() between runs neither loses nor duplicates batches") {
@@ -176,13 +198,14 @@ class ExtraSpec extends AnyFunSuite {
     spark.createDataset(docs).coalesce(1).write.mode("overwrite").parquet(s"$work/tmp/c0")
     val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$work/tmp/c0/*.parquet")).head.getPath
     fs.rename(src, new org.apache.hadoop.fs.Path(s"$work/stream/c0.parquet"))
+    val cfg = IndexConfig(shardSpan = 64, fields = Seq("content"))
+    val store = new IndexStore(spark, s"$work/idx", cfg)
     // pre-place the orphaned claim marker for batch 0
-    val ckpt = new org.apache.hadoop.fs.Path(s"$work/stream.checkpoint")
+    val ckpt = new org.apache.hadoop.fs.Path(
+      StreamingIndex.defaultCheckpointDir(s"$work/stream", store))
     fs.mkdirs(ckpt)
     val out = fs.create(new org.apache.hadoop.fs.Path(ckpt, "graft-batch-0"), true)
     out.write("0".getBytes("UTF-8")); out.close()
-    val cfg = IndexConfig(shardSpan = 64, fields = Seq("content"))
-    val store = new IndexStore(spark, s"$work/idx", cfg)
     val stolen = Seq(CorpusDoc(8888L, "rs", "p/s", "s" * 40, "en", "graftstolen doc content"))
     store.add(spark.createDataset(stolen)) // commits seg 0 under the claimed id
     assert(store.segments.map(_.id) == Seq(0))
@@ -195,7 +218,7 @@ class ExtraSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(8888L))
     assert(eng.search("import the", Seq("content"), k = 20).collect().nonEmpty)
     // and a SECOND restart replaying the same batch is now a verified no-op
-    fs.delete(new org.apache.hadoop.fs.Path(s"$work/stream.checkpoint/commits/0"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), false)
     StreamingIndex.indexStream(spark, s"$work/stream", store).awaitTermination()
     assert(store.segments.size == 2 && store.segments.map(_.numDocs).sum == 21)
   }
@@ -221,7 +244,8 @@ class ExtraSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(s"$work/idx/manifest.json"), false)
     assert(store.segments.isEmpty && store.stageDone(0, "corpus"))
     // orphaned claim marker for batch 0 claiming seg 0
-    val ckpt = new org.apache.hadoop.fs.Path(s"$work/stream.checkpoint")
+    val ckpt = new org.apache.hadoop.fs.Path(
+      StreamingIndex.defaultCheckpointDir(s"$work/stream", store))
     fs.mkdirs(ckpt)
     val out = fs.create(new org.apache.hadoop.fs.Path(ckpt, "graft-batch-0"), true)
     out.write("0".getBytes("UTF-8")); out.close()
