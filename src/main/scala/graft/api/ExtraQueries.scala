@@ -70,6 +70,25 @@ object ExtraQueries {
       out
     })
 
+  /** Memoized run of the streaming dedup-on-ingest: stages the events file
+    * TWICE into the stream dir (every row re-delivered once), runs
+    * [[StreamingIndex.dedupEventsStream]], returns the parquet sink. */
+  private val dedupStreamCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dedupStreamDir(s: SparkSession, dir: String): String =
+    dedupStreamCache.getOrElseUpdate(dir, {
+      val work = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      Seq("events-0", "events-1").foreach { name =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+          fs, new org.apache.hadoop.fs.Path(s"$work/in/$name.parquet"),
+          false, s.sparkContext.hadoopConfiguration)
+      }
+      val out = s"$work/sink"
+      StreamingIndex.dedupEventsStream(s, s"$work/in", out).awaitTermination()
+      out
+    })
+
   // ---------- app-registry cache (one multi-store build per sf dir) ----------
 
   private val registryCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.AppRegistry]
@@ -276,6 +295,16 @@ object ExtraQueries {
       },
       Some(
         """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
-          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // streaming exact dedup-on-ingest (dropDuplicatesWithinWatermark): the
+    // stream re-delivers every event once; the sink must hold exactly one
+    // copy per event_id (event_id is unique in the source, so the kept
+    // row's columns are deterministic whichever copy arrives first)
+    QueryDef("q_stream_dedup",
+      (s, dir) => s.read.parquet(dedupStreamDir(s, dir)).orderBy("event_id"),
+      Some(
+        """SELECT event_id, user_id, event_type, round(value, 4) AS value
+          |FROM events ORDER BY event_id""".stripMargin))
   )
 }

@@ -409,9 +409,11 @@ object PipelineQueries {
           .select(col("doc_id"), length(col("text")).as("n_chars"))
           .as[(Long, Int)]
         val payloads = base.map { case (id, nc) =>
-          val bytes =
-            if (id % 2 == 0) Multimodal.MediaCodec.pngBytes(id % 1024 + 1, nc % 1024 + 1)
-            else Multimodal.MediaCodec.wavBytes(id % 8 + 1, 8000 + nc % 8000)
+          val bytes = (id % 3) match {
+            case 0 => Multimodal.MediaCodec.pngBytes(id % 1024 + 1, nc % 1024 + 1)
+            case 1 => Multimodal.MediaCodec.wavBytes(id % 8 + 1, 8000 + nc % 8000)
+            case _ => Multimodal.MediaCodec.jpegBytes(id % 512 + 1, nc % 512 + 1)
+          }
           (id, bytes)
         }.toDF("doc_id", "payload")
         Multimodal.extractContainerMeta(payloads)
@@ -419,9 +421,9 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
-             |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 1024 + 1 ELSE doc_id % 8 + 1 END AS d1,
-             |  CASE WHEN doc_id % 2 = 0 THEN length(text) % 1024 + 1 ELSE 8000 + length(text) % 8000 END AS d2,
+             |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS format,
+             |  CASE doc_id % 3 WHEN 0 THEN doc_id % 1024 + 1 WHEN 1 THEN doc_id % 8 + 1 ELSE doc_id % 512 + 1 END AS d1,
+             |  CASE doc_id % 3 WHEN 0 THEN length(text) % 1024 + 1 WHEN 1 THEN 8000 + length(text) % 8000 ELSE length(text) % 512 + 1 END AS d2,
              |  true AS ok
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

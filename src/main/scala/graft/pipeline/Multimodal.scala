@@ -47,20 +47,22 @@ object Multimodal {
   /** Typed metadata from a REAL container parse. */
   final case class ContainerMeta(
       doc_id: Long,
-      format: String,  // "png" | "wav" | "stub"
-      d1: Long,        // png: width   | wav: channels
-      d2: Long,        // png: height  | wav: sample rate
+      format: String,  // "png" | "wav" | "jpeg" | "stub"
+      d1: Long,        // png/jpeg: width  | wav: channels
+      d2: Long,        // png/jpeg: height | wav: sample rate
       n_bytes: Long,
       ok: Boolean)
 
   /** Real pure-JVM container parsers — the decode seam carries real bytes
-    * for two ubiquitous formats; [[StubCodec]] remains the fallback for
-    * containers whose decoders aren't in this environment (jpeg/mp4 would
-    * slot in here). Reference capability analogue: arbitrary-payload ingest
-    * (indexing.go:299-369). */
+    * for three ubiquitous formats (PNG IHDR, WAV RIFF/fmt, JPEG SOF);
+    * [[StubCodec]] remains the fallback for containers whose decoders
+    * aren't in this environment (mp4/webm would slot in here). Reference
+    * capability analogue: arbitrary-payload ingest (indexing.go:299-369). */
   object MediaCodec {
     private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+    private def be16(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 8) | (b(o + 1) & 0xffL)
     private def be32(b: Array[Byte], o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
@@ -104,10 +106,44 @@ object Multimodal {
       None
     }
 
+    // SOF0-SOF15 frame markers carry the image dimensions; C4/C8/CC in the
+    // same range are DHT/JPG/DAC and are plain length-prefixed segments
+    private val SofMarkers: Set[Int] = (0xc0 to 0xcf).toSet -- Set(0xc4, 0xc8, 0xcc)
+
+    def isJpeg(b: Array[Byte]): Boolean =
+      b != null && b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+    /** JPEG: SOI, then walk the length-prefixed metadata segments (APPn,
+      * DQT, DHT, COM, ...) to the first SOF frame header, which carries
+      * (height 2BE @+5, width 2BE @+7). Standalone RST/TEM markers only
+      * occur inside entropy-coded data, so stopping at SOS keeps the walk
+      * purely length-driven; any misaligned or undersized segment rejects
+      * the container rather than crashing the task. Returns (width, height)
+      * to match [[parsePng]]'s orientation. */
+    def parseJpeg(b: Array[Byte]): Option[(Long, Long)] = {
+      if (!isJpeg(b)) return None
+      var o = 2
+      while (o + 4 <= b.length) {
+        if ((b(o) & 0xff) != 0xff) return None
+        val m = b(o + 1) & 0xff
+        if (m == 0xff) o += 1 // fill byte before a marker
+        else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+        else if (SofMarkers(m))
+          return if (o + 9 <= b.length) Some((be16(b, o + 7), be16(b, o + 5))) else None
+        else {
+          val len = be16(b, o + 2)
+          if (len < 2) return None
+          o += 2 + len.toInt
+        }
+      }
+      None
+    }
+
     def decode(doc_id: Long, b: Array[Byte]): ContainerMeta = {
       val n = if (b == null) 0L else b.length.toLong
       parsePng(b).map { case (w, h) => ContainerMeta(doc_id, "png", w, h, n, ok = true) }
         .orElse(parseWav(b).map { case (c, r) => ContainerMeta(doc_id, "wav", c, r, n, ok = true) })
+        .orElse(parseJpeg(b).map { case (w, h) => ContainerMeta(doc_id, "jpeg", w, h, n, ok = true) })
         .getOrElse {
           val (_, w, h, ok) = StubCodec.decode(b)
           ContainerMeta(doc_id, "stub", w.toLong, h.toLong, n, ok)
@@ -124,6 +160,26 @@ object Multimodal {
       out.putInt(width.toInt).putInt(height.toInt)
       out.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
       out.putInt(0) // CRC not validated by header parse
+      out.array()
+    }
+
+    /** Minimal JFIF container: SOI, APP0, SOF0 (baseline) frame header with
+      * the given dimensions, EOI. Header-parse valid; no scan data. */
+    def jpegBytes(width: Long, height: Long): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(2 + 18 + 19 + 2)
+      out.put(0xff.toByte).put(0xd8.toByte) // SOI
+      out.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+      out.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      out.put(1.toByte).put(1.toByte).put(0.toByte) // version 1.1, no units
+      out.putShort(1).putShort(1).put(0.toByte).put(0.toByte) // density, no thumb
+      out.put(0xff.toByte).put(0xc0.toByte).putShort(17) // SOF0, len 17
+      out.put(8.toByte) // precision
+      out.putShort(height.toShort).putShort(width.toShort)
+      out.put(3.toByte) // 3 components: (id, sampling, quant table)
+      out.put(1.toByte).put(0x22.toByte).put(0.toByte)
+      out.put(2.toByte).put(0x11.toByte).put(1.toByte)
+      out.put(3.toByte).put(0x11.toByte).put(1.toByte)
+      out.put(0xff.toByte).put(0xd9.toByte) // EOI
       out.array()
     }
 

@@ -163,6 +163,33 @@ object StreamingIndex {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup-on-ingest: `dropDuplicatesWithinWatermark` on
+    * the event key — the production shape for a training-data ingest stream
+    * that must not admit the same record twice (re-delivered files, at-least
+    * -once upstreams). Per-key state is purged once the watermark passes
+    * the key's first arrival + `delay`, so state is bounded by
+    * (key arrival rate × delay), not stream lifetime. The driver query
+    * replays the events file twice (every row a duplicate) with `delay`
+    * spanning the synthetic ts range, so nothing is late and the sink holds
+    * exactly one copy per event_id. */
+  def dedupEventsStream(spark: SparkSession, eventsDir: String, outDir: String,
+                        delay: String = "30 days"): StreamingQuery =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(eventsDir)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", outDir + ".checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stateful sessionization demo: flatMapGroupsWithState over user ids —
     * emits (user_id, n_events, total_value) per user with custom state,
     * the KeyValueGroupedDataset stateful-processing surface. */

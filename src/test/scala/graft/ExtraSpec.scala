@@ -258,6 +258,31 @@ class ExtraSpec extends AnyFunSuite {
     assert(eng.search("import the", Seq("content"), k = 10).collect().nonEmpty)
   }
 
+  test("streaming dedup-on-ingest keeps one copy per key across re-delivered files") {
+    val work = TestSpark.tempDir("sdedup")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val rows = (0 until 50).map(i => (i.toLong,
+      new java.sql.Timestamp(1700000000000L + i * 60000L),
+      (i % 5).toLong, s"t${i % 3}", i * 1.5, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/tmp")
+    val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$work/tmp/*.parquet")).head.getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/in"))
+    // re-deliver the same file twice: every row is a duplicate
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new org.apache.hadoop.fs.Path(s"$work/in/a.parquet"), false, spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new org.apache.hadoop.fs.Path(s"$work/in/b.parquet"), false, spark.sparkContext.hadoopConfiguration)
+    StreamingIndex.dedupEventsStream(spark, s"$work/in", s"$work/sink").awaitTermination()
+    val out = spark.read.parquet(s"$work/sink")
+    assert(out.count() == 50, "each re-delivered event must be dropped")
+    assert(out.select("event_id").distinct().count() == 50)
+    // kept rows carry the source columns (dupes are identical, so the
+    // winner's values are deterministic)
+    val r7 = out.filter($"event_id" === 7L).collect().head
+    assert(r7.getAs[Long]("user_id") == 2L && r7.getAs[String]("event_type") == "t1")
+  }
+
   test("append-mode windowed agg emits exactly the watermark-closed windows to a file sink") {
     val work = TestSpark.tempDir("winappend")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)

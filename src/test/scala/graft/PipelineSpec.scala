@@ -348,11 +348,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaCodec.decode(1L, corrupt).format == "stub")
     // distributed plumbing: typed mapPartitions over binary payloads
     val payloads = Seq(
-      (0L, MediaCodec.pngBytes(10, 20)), (1L, MediaCodec.wavBytes(4, 16000)))
+      (0L, MediaCodec.pngBytes(10, 20)), (1L, MediaCodec.wavBytes(4, 16000)),
+      (2L, MediaCodec.jpegBytes(320, 200)))
       .toDF("doc_id", "payload")
     val metas = Multimodal.extractContainerMeta(payloads).collect()
       .map(c => (c.doc_id, c.format, c.d1, c.d2)).sorted
-    assert(metas.toSeq == Seq((0L, "png", 10L, 20L), (1L, "wav", 4L, 16000L)))
+    assert(metas.toSeq == Seq((0L, "png", 10L, 20L), (1L, "wav", 4L, 16000L),
+      (2L, "jpeg", 320L, 200L)))
+  }
+
+  test("MediaCodec parses JPEG SOF dimensions; rejects corrupt JPEG markers to stub") {
+    import Multimodal.MediaCodec
+    // round-trip through the synthetic JFIF writer (max 16-bit dims)
+    assert(MediaCodec.parseJpeg(MediaCodec.jpegBytes(640, 480)).contains((640L, 480L)))
+    assert(MediaCodec.parseJpeg(MediaCodec.jpegBytes(65535, 1)).contains((65535L, 1L)))
+    assert(MediaCodec.decode(3L, MediaCodec.jpegBytes(12, 34)).format == "jpeg")
+    // progressive SOF2 carries dimensions in the same layout as SOF0
+    val sof2 = MediaCodec.jpegBytes(100, 50)
+    sof2(21) = 0xc2.toByte // rewrite the SOF0 marker byte to SOF2
+    assert(MediaCodec.parseJpeg(sof2).contains((100L, 50L)))
+    // DHT (C4) in the SOF numeric range is a plain segment, NOT a frame
+    // header — a stream ending after one must reject, not misparse
+    val dht = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc4.toByte, 0, 4, 0, 0, 0xff.toByte, 0xd9.toByte)
+    assert(MediaCodec.parseJpeg(dht).isEmpty)
+    // corrupt cases fall through to the stub codec, never crash
+    assert(MediaCodec.parseJpeg(MediaCodec.jpegBytes(9, 9).take(12)).isEmpty) // truncated before SOF
+    val badLen = MediaCodec.jpegBytes(9, 9); badLen(4) = 0; badLen(5) = 0    // APP0 length 0
+    assert(MediaCodec.parseJpeg(badLen).isEmpty)
+    val misaligned = MediaCodec.jpegBytes(9, 9); misaligned(2) = 0x00        // marker misalignment
+    assert(MediaCodec.parseJpeg(misaligned).isEmpty)
+    assert(MediaCodec.decode(1L, misaligned).format == "stub")
+    assert(MediaCodec.parseJpeg(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)).isEmpty) // SOI+EOI only
+    assert(MediaCodec.parseJpeg("notajpeg".getBytes).isEmpty)
+    assert(MediaCodec.parseJpeg(null).isEmpty)
   }
 
   test("multimodal stub codec + metadata plumbing") {
