@@ -386,6 +386,71 @@ object PipelineQueries {
         .orderBy("doc_id"),
       Some(fingerprintsSql("SELECT doc_id, text FROM documents", 4, 5))),
 
+    // deterministic stratified sampling: membership keyed on a
+    // multiplicative id-hash, not per-partition randoms — re-runs and
+    // repartitions select the SAME rows (sampleBy cannot promise that)
+    QueryDef("q_sample_stratified",
+      (s, dir) => Sampling.stratifiedSample(
+          Corpus.documents(s, dir).select(col("doc_id"), col("lang")),
+          "lang", "doc_id",
+          Map("en" -> 500000L, "fr" -> 250000L, "zh" -> 100000L))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE ${Sampling.bucketSql("doc_id")} <
+              |  CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 250000
+              |            WHEN 'zh' THEN 100000 ELSE 0 END
+              |ORDER BY doc_id""".stripMargin)),
+
+    // deterministic train/val/test split: disjoint bucket ranges of the
+    // same id-hash — splits are stable and can never overlap, even when
+    // each split is materialized by a separate job
+    QueryDef("q_train_test_split",
+      (s, dir) => Sampling.withSplit(
+          Corpus.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", trainPpm = 800000L, valPpm = 100000L)
+        .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split"),
+      Some(s"""SELECT lang,
+              |  CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val'
+              |       ELSE 'test' END AS split, count(*) AS n
+              |FROM (SELECT lang, ${Sampling.bucketSql("doc_id")} AS b FROM documents)
+              |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // PII scrubbing: inject deterministic synthetic PII (the corpus has
+    // none), then redact emails / IPv4 / long digit runs and count each
+    QueryDef("q_pii_scrub",
+      (s, dir) => {
+        val injected = concat(col("text"),
+          when(col("doc_id") % 4 === 0, concat(lit(" contact u"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+          .when(col("doc_id") % 4 === 1, concat(lit(" host 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7 up")))
+          .when(col("doc_id") % 4 === 2, concat(lit(" acct 555123"),
+            col("doc_id").cast("string"), lit(" ok")))
+          .otherwise(lit("")))
+        TextAnalysis.scrubPii(
+            Corpus.documents(s, dir).select(col("doc_id"), injected.as("text")))
+          .select(col("doc_id"), col("n_emails"), col("n_ips"),
+            col("n_digit_runs"), length(col("text_clean")).as("n_clean_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH inj AS (
+              |  SELECT doc_id, text || CASE doc_id % 4
+              |    WHEN 0 THEN ' contact u' || doc_id::VARCHAR || '@example.com now'
+              |    WHEN 1 THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.7 up'
+              |    WHEN 2 THEN ' acct 555123' || doc_id::VARCHAR || ' ok'
+              |    ELSE '' END AS t FROM documents),
+              |s1 AS (SELECT doc_id, t,
+              |         regexp_replace(t, '${TextAnalysis.EmailRe}', '[EMAIL]', 'g') AS t1 FROM inj),
+              |s2 AS (SELECT doc_id, t, t1,
+              |         regexp_replace(t1, '${TextAnalysis.Ipv4Re}', '[IP]', 'g') AS t2 FROM s1)
+              |SELECT doc_id,
+              |  len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS n_emails,
+              |  len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Re}')) AS n_ips,
+              |  len(regexp_extract_all(t2, '${TextAnalysis.LongDigitRe}')) AS n_digit_runs,
+              |  length(regexp_replace(t2, '${TextAnalysis.LongDigitRe}', '[NUM]', 'g')) AS n_clean_chars
+              |FROM s2 ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q_multimodal_meta",
       (s, dir) => Multimodal.extractMeta(
           Multimodal.withPayload(Corpus.documents(s, dir)))

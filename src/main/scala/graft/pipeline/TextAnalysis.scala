@@ -75,6 +75,32 @@ object TextAnalysis {
       regexp_count(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
         .cast("long").as("n_bpe_tokens"))
 
+  /** PII patterns: kept to constructs with identical semantics in Java
+    * regex (Spark codegen) and RE2 (DuckDB oracle) — no backrefs, no
+    * lookaround. A real deployment extends the list; the operator shape
+    * (chained global regexp_replace, map-side only) is what scales. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val LongDigitRe = "\\b[0-9]{7,}\\b"
+
+  /** PII scrubbing: redact emails, IPv4 addresses, and long digit runs
+    * (phone/account-shaped), in that order (an IPv4 inside an email is
+    * already gone when the IP pass runs). Output keeps the redaction counts
+    * per class plus the cleaned text — the downstream pipeline filters on
+    * counts and trains on `text_clean`. Map-side only. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "[IP]")
+    val clean = regexp_replace(afterIp, LongDigitRe, "[NUM]")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(afterIp, lit(LongDigitRe)).cast("long").as("n_digit_runs"),
+      clean.as("text_clean"))
+  }
+
   /** Seed of the fingerprint hash family (any fixed value; pinned so the
     * oracle SQL can mirror it). */
   val FingerprintSeed: Long = 7L

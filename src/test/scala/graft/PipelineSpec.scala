@@ -357,6 +357,62 @@ class PipelineSpec extends AnyFunSuite {
       (2L, "jpeg", 320L, 200L)))
   }
 
+  test("deterministic sampling: same rows at any parallelism; splits disjoint and stable") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"lang")
+    val rates = Map("en" -> 500000L, "fr" -> 250000L, "zh" -> 100000L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, "lang", "doc_id", rates)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val base = ids(docs)
+    assert(base.nonEmpty)
+    // invariant under repartitioning — the sampleBy failure mode
+    assert(ids(docs.repartition(17)) == base)
+    assert(ids(docs.coalesce(1)) == base)
+    // membership matches the hash arithmetic exactly
+    base.take(20).foreach { id =>
+      assert(math.floorMod(id * Sampling.Knuth, Sampling.Buckets) <
+        rates(docs.filter($"doc_id" === id).head.getString(1)))
+    }
+    // unlisted strata are dropped entirely
+    val langs = Sampling.stratifiedSample(docs, "lang", "doc_id", rates)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "fr", "zh")))
+    // split: total partition, stable under repartition, ~expected proportions
+    val split = Sampling.withSplit(docs, "doc_id", 800000L, 100000L)
+    val byId = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId2 = Sampling.withSplit(docs.repartition(13), "doc_id", 800000L, 100000L)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId == byId2)
+    val n = byId.size.toDouble
+    val train = byId.values.count(_ == "train") / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+    assert(byId.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("PII scrub redacts emails, IPv4s, and long digit runs; counts match") {
+    val rows = Seq(
+      (1L, "mail me at alice.b+tag@sub.example.org or bob@x.co thanks"),
+      (2L, "server 192.168.0.1 and 10.0.255.7 up; version 1.2 stays"),
+      (3L, "card 4111111111111111 ref 12345678 but zip 12345 stays"),
+      (4L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 2)
+    assert(out(1L).getAs[String]("text_clean") ==
+      "mail me at [EMAIL] or [EMAIL] thanks")
+    assert(out(2L).getAs[Long]("n_ips") == 2)
+    assert(out(2L).getAs[String]("text_clean") ==
+      "server [IP] and [IP] up; version 1.2 stays")
+    assert(out(3L).getAs[Long]("n_digit_runs") == 2,
+      "16-digit card and 8-digit ref redact; 5-digit zip stays")
+    assert(out(3L).getAs[String]("text_clean") ==
+      "card [NUM] ref [NUM] but zip 12345 stays")
+    assert(out(4L).getAs[Long]("n_emails") == 0 &&
+      out(4L).getAs[Long]("n_ips") == 0 && out(4L).getAs[Long]("n_digit_runs") == 0)
+    assert(out(4L).getAs[String]("text_clean") == "clean text with no pii at all")
+  }
+
   test("MediaCodec parses JPEG SOF dimensions; rejects corrupt JPEG markers to stub") {
     import Multimodal.MediaCodec
     // round-trip through the synthetic JFIF writer (max 16-bit dims)

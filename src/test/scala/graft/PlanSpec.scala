@@ -89,4 +89,22 @@ class PlanSpec extends AnyFunSuite {
     // in the final-plan rendering codegen stages print as "*(n) Operator"
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(3000))
   }
+
+  test("curation operators (sampling, split, PII scrub) are shuffle-free codegen'd maps") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 1000).select(col("id").as("doc_id"),
+      concat(lit("text of doc "), col("id").cast("string")).as("text"),
+      when(col("id") % 2 === 0, "en").otherwise("fr").as("lang"))
+    val plans = Seq(
+      graft.pipeline.Sampling.stratifiedSample(docs, "lang", "doc_id",
+        Map("en" -> 500000L, "fr" -> 250000L)),
+      graft.pipeline.Sampling.withSplit(docs, "doc_id", 800000L, 100000L),
+      graft.pipeline.TextAnalysis.scrubPii(docs)).map(physicalPlan)
+    plans.foreach { plan =>
+      assert(!plan.contains("Exchange"),
+        "curation op must not shuffle:\n" + plan.take(2000))
+      assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+        "curation op must stay inside codegen:\n" + plan.take(2000))
+    }
+  }
 }
