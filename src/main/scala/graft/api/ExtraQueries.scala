@@ -45,19 +45,24 @@ object ExtraQueries {
       new SearchEngine(store)
     })
 
-  /** File streams require a DIRECTORY source; stage the events parquet file
-    * into one (memoized per sf dir). */
-  private val eventsDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def eventsStreamDir(s: SparkSession, dir: String): String =
-    eventsDirCache.getOrElseUpdate(dir, {
-      val work = java.nio.file.Files.createTempDirectory("graft-events").toString
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+  /** File streams require a DIRECTORY source; stage `copies` copies of the
+    * events parquet file into a fresh one (one file per copy → one
+    * micro-batch per copy under maxFilesPerTrigger=1). */
+  private def stageEvents(s: SparkSession, dir: String, copies: Int): String = {
+    val work = java.nio.file.Files.createTempDirectory("graft-events").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+    (0 until copies).foreach { i =>
       org.apache.hadoop.fs.FileUtil.copy(
         fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
-        fs, new org.apache.hadoop.fs.Path(s"$work/events-0.parquet"),
+        fs, new org.apache.hadoop.fs.Path(s"$work/events-$i.parquet"),
         false, s.sparkContext.hadoopConfiguration)
-      work
-    })
+    }
+    work
+  }
+
+  private val eventsDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def eventsStreamDir(s: SparkSession, dir: String): String =
+    eventsDirCache.getOrElseUpdate(dir, stageEvents(s, dir, copies = 1))
 
   /** Memoized run of the append-mode windowed aggregation; returns the
     * parquet sink directory. */
@@ -76,16 +81,9 @@ object ExtraQueries {
   private val dedupStreamCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def dedupStreamDir(s: SparkSession, dir: String): String =
     dedupStreamCache.getOrElseUpdate(dir, {
-      val work = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-      Seq("events-0", "events-1").foreach { name =>
-        org.apache.hadoop.fs.FileUtil.copy(
-          fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
-          fs, new org.apache.hadoop.fs.Path(s"$work/in/$name.parquet"),
-          false, s.sparkContext.hadoopConfiguration)
-      }
-      val out = s"$work/sink"
-      StreamingIndex.dedupEventsStream(s, s"$work/in", out).awaitTermination()
+      val in = stageEvents(s, dir, copies = 2)
+      val out = s"$in.sink"
+      StreamingIndex.dedupEventsStream(s, in, out).awaitTermination()
       out
     })
 

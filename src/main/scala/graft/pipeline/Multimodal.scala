@@ -166,6 +166,8 @@ object Multimodal {
     /** Minimal JFIF container: SOI, APP0, SOF0 (baseline) frame header with
       * the given dimensions, EOI. Header-parse valid; no scan data. */
     def jpegBytes(width: Long, height: Long): Array[Byte] = {
+      require(width >= 1 && width <= 0xffff && height >= 1 && height <= 0xffff,
+        s"JPEG dimensions are 16-bit: got ${width}x$height")
       val out = java.nio.ByteBuffer.allocate(2 + 18 + 19 + 2)
       out.put(0xff.toByte).put(0xd8.toByte) // SOI
       out.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16

@@ -15,19 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth's multiplicative constant (2^32 / phi). ids are table-scale
-    * (≪ 2^32), so id · K < 2^63 — no overflow in Spark or DuckDB BIGINT. */
+  /** Knuth's multiplicative constant (2^32 / phi). */
   val Knuth: Long = 2654435761L
 
   /** Bucket granularity: per-million (rate resolution 0.0001%). */
   val Buckets: Long = 1000000L
 
-  /** Deterministic per-row bucket in [0, Buckets). */
-  def bucket(id: Column): Column = pmod(id * lit(Knuth), lit(Buckets))
+  /** Deterministic per-row bucket in [0, Buckets): (id · Knuth) mod Buckets,
+    * computed as ((id mod B) · (Knuth mod B)) mod B — identical by modular
+    * arithmetic, but every intermediate stays < 10^12, so arbitrary 64-bit
+    * ids can never overflow (Spark 4 runs ANSI mode, where a raw id·Knuth
+    * at id ≳ 3.5e9 would throw; DuckDB BIGINT overflow errors too). */
+  def bucket(id: Column): Column =
+    pmod(pmod(id, lit(Buckets)) * lit(Knuth % Buckets), lit(Buckets))
 
   /** SQL twin of [[bucket]] for oracle queries. */
-  def bucketSql(idExpr: String): String =
-    s"(($idExpr * $Knuth) % $Buckets + $Buckets) % $Buckets"
+  def bucketSql(idExpr: String): String = {
+    val k = Knuth % Buckets
+    s"(((($idExpr % $Buckets + $Buckets) % $Buckets) * $k) % $Buckets + $Buckets) % $Buckets"
+  }
 
   /** Stratified sample: keep `ratesPpm(stratum)` parts-per-million of each
     * stratum (unlisted strata are dropped). Unlike `sampleBy`, re-runs and

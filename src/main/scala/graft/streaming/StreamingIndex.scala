@@ -46,10 +46,15 @@ object StreamingIndex {
     * store and the input directory, because the checkpoint records which
     * input files THIS STORE has already ingested. Keyed to the input alone,
     * a second store fed from the same directory would find every file
-    * already marked consumed and silently ingest nothing. */
+    * already marked consumed and silently ingest nothing. The input path is
+    * fully qualified before hashing so equivalent spellings (trailing
+    * slash, relative vs absolute, bare vs file://) share one checkpoint. */
   def defaultCheckpointDir(inputDir: String, store: IndexStore): String = {
+    val p = new org.apache.hadoop.fs.Path(inputDir)
+    val canonical = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri.toString
     val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(inputDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      .digest(canonical.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     s"${store.baseDir}.stream-$tag.checkpoint"
   }
 
@@ -57,6 +62,20 @@ object StreamingIndex {
                   checkpoint: Option[String] = None): StreamingQuery = {
     import spark.implicits._
     val checkpointDir = checkpoint.getOrElse(defaultCheckpointDir(inputDir, store))
+    // pre-(input,store)-keying layout guard: a checkpoint at the OLD default
+    // location with no keyed one is ambiguous — it may belong to this store
+    // (resume it via `checkpoint`) or to a different store fed from the same
+    // input (use a fresh dir). Either silent choice can duplicate or drop
+    // documents, so demand the operator decide.
+    if (checkpoint.isEmpty) {
+      val legacy = new org.apache.hadoop.fs.Path(inputDir + ".checkpoint")
+      val lfs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val keyed = new org.apache.hadoop.fs.Path(checkpointDir)
+      require(!lfs.exists(legacy) || lfs.exists(keyed),
+        s"found a pre-existing stream checkpoint at $legacy (the old input-keyed " +
+          s"layout). Pass it explicitly as the checkpoint dir if this store is its " +
+          s"original consumer, or pass a fresh dir to re-ingest into a new store.")
+    }
     val fs = new org.apache.hadoop.fs.Path(checkpointDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def markerPath(batchId: Long) =

@@ -145,6 +145,22 @@ class ExtraSpec extends AnyFunSuite {
       "second store must not inherit the first store's checkpoint")
   }
 
+  test("a legacy input-keyed checkpoint with no keyed one demands an explicit choice") {
+    val work = TestSpark.tempDir("legacyckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/stream"))
+    // pre-(input,store)-keying layout: a checkpoint at <input>.checkpoint
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/stream.checkpoint"))
+    val store = new IndexStore(spark, s"$work/idx",
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    // ambiguous (may belong to another store): default must refuse loudly
+    intercept[IllegalArgumentException](
+      StreamingIndex.indexStream(spark, s"$work/stream", store))
+    // explicit checkpoint dir resolves it either way
+    StreamingIndex.indexStream(spark, s"$work/stream", store,
+      Some(s"$work/stream.checkpoint")).awaitTermination()
+  }
+
   test("stream restart after a manual add() between runs neither loses nor duplicates batches") {
     val work = TestSpark.tempDir("interleave")
     val docs = CorpusGen.generate(spark, 60, seed = 23).collect().toSeq

@@ -370,9 +370,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids(docs.coalesce(1)) == base)
     // membership matches the hash arithmetic exactly
     base.take(20).foreach { id =>
-      assert(math.floorMod(id * Sampling.Knuth, Sampling.Buckets) <
-        rates(docs.filter($"doc_id" === id).head.getString(1)))
+      val b = math.floorMod(
+        math.floorMod(id, Sampling.Buckets) * (Sampling.Knuth % Sampling.Buckets),
+        Sampling.Buckets)
+      assert(b < rates(docs.filter($"doc_id" === id).head.getString(1)))
     }
+    // overflow-free at arbitrary 64-bit ids (Spark 4 ANSI mode would throw
+    // on a raw id*Knuth product past ~3.5e9)
+    val huge = Seq(4000000000L, Long.MaxValue - 1, 0L).toDF("doc_id")
+    val hb = huge.select(Sampling.bucket(col("doc_id")).as("b"))
+      .collect().map(_.getLong(0))
+    assert(hb.forall(b => b >= 0 && b < Sampling.Buckets))
     // unlisted strata are dropped entirely
     val langs = Sampling.stratifiedSample(docs, "lang", "doc_id", rates)
       .select("lang").distinct().collect().map(_.getString(0)).toSet
