@@ -416,6 +416,61 @@ object PipelineQueries {
               |FROM (SELECT lang, ${Sampling.bucketSql("doc_id")} AS b FROM documents)
               |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
+    // the fused single-scan curation pass: language ID + quality + token
+    // counts + PII scrub + split tag in ONE select over ONE corpus scan
+    // (PlanSpec asserts one scan / zero exchanges; PipelineSpec pins it
+    // column-for-column to the individual operators)
+    QueryDef("q_curate",
+      (s, dir) => Curation.curate(
+          Corpus.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("lang_pred"), col("best_hits"),
+          col("n_tokens"), col("n_chars"),
+          round(col("uniq_ratio"), 4).as("uniq_ratio"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"),
+          round(col("nonalnum_ratio"), 4).as("nonalnum_ratio"),
+          col("n_bpe_tokens"),
+          (col("n_emails") + col("n_ips") + col("n_digit_runs")).as("n_pii"),
+          length(col("text_clean")).as("n_clean_chars"), col("split"))
+        .orderBy("doc_id"),
+      Some {
+        val sets = TextAnalysis.StopwordSets.map { case (l, ws) =>
+          l -> ws.map(w => s"'$w'").mkString("(", ",", ")")
+        }
+        val hitCols = sets.map { case (l, inList) =>
+          s"count(*) FILTER (WHERE term IN $inList) AS s_$l"
+        }.mkString(", ")
+        val bestExpr = sets.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val predCase = sets.map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }.mkString(" ")
+        val (em, ip, dig) = (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re, TextAnalysis.LongDigitRe)
+        s"""${toksCte("SELECT doc_id, text FROM documents")},
+           |agg AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq,
+           |        count(*) FILTER (WHERE term IN ('the','and','of','to','is','that','it')) AS n_stop,
+           |        $hitCols
+           |        FROM toks GROUP BY doc_id),
+           |scored AS (SELECT *, $bestExpr AS best FROM agg),
+           |s1 AS (SELECT doc_id, len(regexp_extract_all(text, '$em')) AS n_emails,
+           |        regexp_replace(text, '$em', '[EMAIL]', 'g') AS t1 FROM documents),
+           |s2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '$ip')) AS n_ips,
+           |        regexp_replace(t1, '$ip', '[IP]', 'g') AS t2 FROM s1),
+           |s3 AS (SELECT doc_id, n_emails, n_ips,
+           |        len(regexp_extract_all(t2, '$dig')) AS n_digit_runs,
+           |        length(regexp_replace(t2, '$dig', '[NUM]', 'g')) AS n_clean_chars FROM s2)
+           |SELECT d.doc_id,
+           |  CASE WHEN best = 0 THEN 'und' $predCase END AS lang_pred,
+           |  best AS best_hits, a.n_tokens, length(d.text) AS n_chars,
+           |  round(a.n_uniq * 1.0 / greatest(a.n_tokens, 1), 4) AS uniq_ratio,
+           |  round(a.n_stop * 1.0 / greatest(a.n_tokens, 1), 4) AS stopword_ratio,
+           |  round(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) * 1.0 / greatest(length(d.text), 1), 4) AS nonalnum_ratio,
+           |  len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+           |  s3.n_emails + s3.n_ips + s3.n_digit_runs AS n_pii, s3.n_clean_chars,
+           |  CASE WHEN ${Sampling.bucketSql("d.doc_id")} < 800000 THEN 'train'
+           |       WHEN ${Sampling.bucketSql("d.doc_id")} < 900000 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM scored a JOIN documents d ON a.doc_id = d.doc_id
+           |JOIN s3 ON a.doc_id = s3.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     // PII scrubbing: inject deterministic synthetic PII (the corpus has
     // none), then redact emails / IPv4 / long digit runs and count each
     QueryDef("q_pii_scrub",

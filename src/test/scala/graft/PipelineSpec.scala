@@ -398,6 +398,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId.values.toSet == Set("train", "val", "test"))
   }
 
+  test("fused curate equals the individual operators joined on doc_id") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
+    val fused = Curation.curate(docs)
+    val parts = TextAnalysis.langId(docs)
+      .join(TextAnalysis.qualityFeatures(docs), "doc_id")
+      .join(TextAnalysis.tokenCounts(docs).drop("n_ws_tokens"), "doc_id")
+      .join(TextAnalysis.scrubPii(docs), "doc_id")
+      .join(Sampling.withSplit(docs.select($"doc_id"), "doc_id", 800000L, 100000L), "doc_id")
+      .select(fused.columns.map(col).toSeq: _*)
+    assert(fused.count() == docs.count() && parts.count() == docs.count())
+    assert(fused.except(parts).isEmpty && parts.except(fused).isEmpty,
+      "fused curation must be column-for-column identical to its parts")
+  }
+
   test("PII scrub redacts emails, IPv4s, and long digit runs; counts match") {
     val rows = Seq(
       (1L, "mail me at alice.b+tag@sub.example.org or bob@x.co thanks"),

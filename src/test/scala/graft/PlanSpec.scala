@@ -90,6 +90,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(3000))
   }
 
+  test("fused curate is ONE parquet scan, zero shuffles, inside codegen") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = physicalPlan(graft.pipeline.Curation.curate(docs))
+    // "Scan parquet" also matches inside "FileScan parquet" — one count
+    // per scan node either way
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"curate must read the corpus exactly once (got $scans):\n" +
+      plan.take(2000))
+    assert(!plan.contains("Exchange"), "curate must not shuffle:\n" + plan.take(2000))
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      "curate must stay inside codegen:\n" + plan.take(2000))
+  }
+
   test("curation operators (sampling, split, PII scrub) are shuffle-free codegen'd maps") {
     import org.apache.spark.sql.functions._
     val docs = spark.range(0, 1000).select(col("id").as("doc_id"),
