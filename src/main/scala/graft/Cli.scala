@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Cli app.jar delete <indexDir> <docId,docId,...>
   * spark-submit --class graft.Cli app.jar dedup  <indexDir> [--min-jaccard 0.9] [--dry-run] [--checkpoint-dir d]
   * spark-submit --class graft.Cli app.jar stream <inputDir> <indexDir> [--checkpoint-dir d]
+  * spark-submit --class graft.Cli app.jar curate <docsParquet> <outDir>
   * spark-submit --class graft.Cli app.jar merge  <indexDir> [--max-docs n]
   * spark-submit --class graft.Cli app.jar compact <indexDir>
   * spark-submit --class graft.Cli app.jar fields <indexDir>
@@ -25,7 +26,7 @@ import org.apache.spark.sql.SparkSession
 object Cli {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: gen|build|search|sql|apps|stream|delete|dedup|merge|compact|fields ...")
+      "usage: gen|build|search|sql|apps|stream|delete|dedup|curate|merge|compact|fields ...")
     val spark = SparkSession.builder()
       .appName(s"graft-${args(0)}")
       .master(sys.props.getOrElse("spark.master",
@@ -138,6 +139,17 @@ object Cli {
         println(s"[graft] stream drained: ${fresh.size} new segments, " +
           s"${fresh.map(_.numDocs).sum} docs ingested (store total: " +
           s"${after.size} segments, ${after.map(_.numDocs).sum} docs)")
+      case "curate" =>
+        // single-scan curation pass over a documents parquet: writes the
+        // training-ready table (lang ID, quality features, token counts,
+        // scrubbed text, train/val/test split) reading each row once
+        val docs = spark.read.parquet(args(1))
+        val textCol = if (docs.columns.contains("text")) "text" else "content"
+        graft.pipeline.Curation.curate(
+            docs.select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col(textCol).as("text")))
+          .write.mode("overwrite").parquet(args(2))
+        println(s"[graft] curated ${args(1)} -> ${args(2)}")
       case "merge" =>
         // LSM-style maintenance: fold micro-batch segments into one
         val maxDocs = args.sliding(2).collectFirst {

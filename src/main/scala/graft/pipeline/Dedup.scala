@@ -75,6 +75,43 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Cross-corpus contamination: training docs whose n-gram overlap with a
+    * BENCHMARK/EVAL item exceeds `minContainment` — the decontamination
+    * sweep a training pipeline runs before release. Same shingle-bucketed
+    * plan as [[ngramJaccardPairs]] but across two tables, and the metric is
+    * CONTAINMENT of the benchmark side (|A∩B| / |benchmark shingles|), not
+    * symmetric Jaccard: a huge training doc that embeds a whole benchmark
+    * item must be caught regardless of its own size. The hot-shingle cap is
+    * computed over the UNION of both corpora (capping each side alone could
+    * drop a shingle from one side only and mask a real overlap); the
+    * containment denominator is the benchmark's CAPPED shingle count.
+    * Output: (train_id, bench_id, containment). */
+  def contaminationPairs(train: DataFrame, bench: DataFrame,
+                         textCol: String = "text", k: Int = 3,
+                         minContainment: Double = 0.8,
+                         maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val tSh = shingles(train, textCol, k, maxShingleDf = 0)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val bSh = shingles(bench, textCol, k, maxShingleDf = 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val (t, b) =
+      if (maxShingleDf <= 0) (tSh, bSh)
+      else {
+        val hot = tSh.select(col("shingle")).unionAll(bSh.select(col("shingle")))
+          .groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+          .filter(col("sdf") > maxShingleDf).select("shingle")
+        (tSh.join(hot, Seq("shingle"), "left_anti"),
+          bSh.join(hot, Seq("shingle"), "left_anti"))
+      }
+    val nb = b.groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
+    t.join(b, Seq("shingle"))
+      .groupBy(col("train_id"), col("bench_id")).agg(count(lit(1)).as("c"))
+      .join(nb, Seq("bench_id"))
+      .select(col("train_id"), col("bench_id"),
+        (col("c").cast("double") / col("nb")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   // ---------- MinHash + LSH ----------
 
   private val MersennePrime = (1L << 31) - 1 // 2^31-1

@@ -398,6 +398,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId.values.toSet == Set("train", "val", "test"))
   }
 
+  test("decontamination: benchmark items caught in their source docs at containment 1.0") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
+    val bench = docs.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 500000).as("doc_id"),
+        concat_ws(" ", slice(graft.analysis.Analyzer.tokens($"text"), 1, 12)).as("text"))
+    val nBench = bench.count()
+    assert(nBench > 0)
+    val pairs = Dedup.contaminationPairs(docs, bench, minContainment = 0.8)
+    // every benchmark item embeds in its own source doc: containment exactly 1
+    val self = pairs.filter($"train_id" === $"bench_id" - 500000).cache()
+    assert(self.count() == nBench, "every bench item must be caught in its source")
+    assert(self.filter($"containment" < 1.0).isEmpty)
+    self.unpersist()
+    // an unrelated benchmark yields no contamination at any threshold
+    val foreign = Seq((999999L, "zzz yyy xxx www vvv uuu ttt sss"))
+      .toDF("doc_id", "text")
+    assert(Dedup.contaminationPairs(docs, foreign, minContainment = 0.01).isEmpty)
+  }
+
   test("fused curate equals the individual operators joined on doc_id") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
     val fused = Curation.curate(docs)
