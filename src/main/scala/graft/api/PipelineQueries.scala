@@ -401,11 +401,13 @@ object PipelineQueries {
               |               count(DISTINCT term) AS n_uniq,
               |               count(*) FILTER (WHERE term IN ('the','and','of','to','is','that','it')) AS n_stop
               |        FROM toks GROUP BY doc_id)
-              |SELECT d.doc_id, a.n_tokens, length(d.text) AS n_chars,
-              |       round(a.n_uniq * 1.0 / greatest(a.n_tokens, 1), 4) AS uniq_ratio,
-              |       round(a.n_stop * 1.0 / greatest(a.n_tokens, 1), 4) AS stopword_ratio,
+              |-- LEFT JOIN: a zero-token doc has no agg row but the engine
+              |-- still emits it with n_tokens 0
+              |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, length(d.text) AS n_chars,
+              |       round(coalesce(a.n_uniq, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1), 4) AS uniq_ratio,
+              |       round(coalesce(a.n_stop, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1), 4) AS stopword_ratio,
               |       round(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) * 1.0 / greatest(length(d.text), 1), 4) AS nonalnum_ratio
-              |FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+              |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
     QueryDef("q_token_counts",
@@ -498,18 +500,21 @@ object PipelineQueries {
            |        len(regexp_extract_all(t2, '$dig')) AS n_digit_runs,
            |        length(regexp_replace(t2, '$dig', '[NUM]', 'g')) AS n_clean_chars FROM s2)
            |SELECT d.doc_id,
-           |  CASE WHEN best = 0 THEN 'und' $predCase END AS lang_pred,
-           |  best AS best_hits, a.n_tokens, length(d.text) AS n_chars,
-           |  round(a.n_uniq * 1.0 / greatest(a.n_tokens, 1), 4) AS uniq_ratio,
-           |  round(a.n_stop * 1.0 / greatest(a.n_tokens, 1), 4) AS stopword_ratio,
+           |  CASE WHEN coalesce(best, 0) = 0 THEN 'und' $predCase END AS lang_pred,
+           |  coalesce(best, 0) AS best_hits,
+           |  coalesce(a.n_tokens, 0) AS n_tokens, length(d.text) AS n_chars,
+           |  round(coalesce(a.n_uniq, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1), 4) AS uniq_ratio,
+           |  round(coalesce(a.n_stop, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1), 4) AS stopword_ratio,
            |  round(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) * 1.0 / greatest(length(d.text), 1), 4) AS nonalnum_ratio,
            |  len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
            |  s3.n_emails + s3.n_ips + s3.n_digit_runs AS n_pii, s3.n_clean_chars,
            |  CASE WHEN ${Sampling.bucketSql("d.doc_id")} < 800000 THEN 'train'
            |       WHEN ${Sampling.bucketSql("d.doc_id")} < 900000 THEN 'val'
            |       ELSE 'test' END AS split
-           |FROM scored a JOIN documents d ON a.doc_id = d.doc_id
-           |JOIN s3 ON a.doc_id = s3.doc_id
+           |-- LEFT JOIN: a zero-token doc has no rows in the token CTEs but
+           |-- the engine still emits it (n_tokens 0, lang 'und')
+           |FROM documents d LEFT JOIN scored a ON a.doc_id = d.doc_id
+           |JOIN s3 ON d.doc_id = s3.doc_id
            |ORDER BY d.doc_id""".stripMargin
       }),
 

@@ -20,7 +20,6 @@ object Curation {
   def curate(docs: DataFrame, textCol: String = "text",
              trainPpm: Long = 800000L, valPpm: Long = 100000L): DataFrame = {
     require(trainPpm + valPpm <= Sampling.Buckets, "train+val rates exceed 100%")
-    val en = TextAnalysis.StopwordSets.toMap.apply("en")
     // stage 1: name the shared subexpressions once (tokens, scrub chain) —
     // chained selects over one scan, still a single codegen stage
     val staged = docs.select(col("doc_id"), col(textCol).as("t"),
@@ -45,7 +44,7 @@ object Curation {
       length(col("t")).cast("long").as("n_chars"),
       (size(array_distinct(col("toks"))).cast("double") /
         greatest(size(col("toks")), lit(1))).as("uniq_ratio"),
-      (size(filter(col("toks"), t => t.isInCollection(en))).cast("double") /
+      (col("s_en").cast("double") /
         greatest(size(col("toks")), lit(1))).as("stopword_ratio"),
       (length(regexp_replace(col("t"), "[a-z0-9 ]", "")).cast("double") /
         greatest(length(col("t")), lit(1))).as("nonalnum_ratio"),

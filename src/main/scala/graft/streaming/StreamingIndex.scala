@@ -50,12 +50,21 @@ object StreamingIndex {
     * fully qualified before hashing so equivalent spellings (trailing
     * slash, relative vs absolute, bare vs file://) share one checkpoint. */
   def defaultCheckpointDir(inputDir: String, store: IndexStore): String = {
+    def keyed(s: String): String = {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      s"${store.baseDir}.stream-$tag.checkpoint"
+    }
     val p = new org.apache.hadoop.fs.Path(inputDir)
-    val canonical = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
-      .makeQualified(p).toUri.toString
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(canonical.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"${store.baseDir}.stream-$tag.checkpoint"
+    val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    val canonical = keyed(fs.makeQualified(p).toUri.toString)
+    // a checkpoint keyed under the pre-canonicalization scheme (raw input
+    // string) is still THIS (store, input) pair's — adopt it rather than
+    // silently re-ingesting everything under the new key
+    val raw = keyed(inputDir)
+    if (raw != canonical && !fs.exists(new org.apache.hadoop.fs.Path(canonical)) &&
+        fs.exists(new org.apache.hadoop.fs.Path(raw))) raw
+    else canonical
   }
 
   def indexStream(spark: SparkSession, inputDir: String, store: IndexStore,

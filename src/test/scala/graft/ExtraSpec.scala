@@ -145,6 +145,25 @@ class ExtraSpec extends AnyFunSuite {
       "second store must not inherit the first store's checkpoint")
   }
 
+  test("pre-canonicalization raw-string-hash checkpoints are adopted, not orphaned") {
+    val work = TestSpark.tempDir("rawckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val store = new IndexStore(spark, s"$work/idx",
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    val input = s"$work/stream" // raw string differs from the file: URI form
+    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
+    def tag(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val rawDir = s"$work/idx.stream-${tag(input)}.checkpoint"
+    // no raw-keyed dir on disk -> the canonical (file:-qualified) key wins
+    val canonical = StreamingIndex.defaultCheckpointDir(input, store)
+    assert(canonical != rawDir, "sanity: raw and canonical keys must differ")
+    // an existing raw-keyed checkpoint (the pre-canonicalization layout)
+    // must be adopted so the same store+input doesn't re-ingest everything
+    fs.mkdirs(new org.apache.hadoop.fs.Path(rawDir))
+    assert(StreamingIndex.defaultCheckpointDir(input, store) == rawDir)
+  }
+
   test("a legacy input-keyed checkpoint with no keyed one demands an explicit choice") {
     val work = TestSpark.tempDir("legacyckpt")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)

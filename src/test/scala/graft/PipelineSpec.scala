@@ -429,6 +429,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(fused.count() == docs.count() && parts.count() == docs.count())
     assert(fused.except(parts).isEmpty && parts.except(fused).isEmpty,
       "fused curation must be column-for-column identical to its parts")
+    // zero-token docs are still emitted (n_tokens 0, lang 'und') — the
+    // oracle's LEFT JOIN mirrors this
+    val z = Curation.curate(Seq((1L, ""), (2L, "   "), (3L, "the import"))
+        .toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(z.size == 3)
+    assert(z(1L).getAs[Long]("n_tokens") == 0 && z(1L).getAs[String]("lang_pred") == "und")
+    assert(z(2L).getAs[Long]("n_tokens") == 0 && z(2L).getAs[Double]("uniq_ratio") == 0.0)
+    assert(z(3L).getAs[Long]("n_tokens") == 2)
   }
 
   test("PII scrub redacts emails, IPv4s, and long digit runs; counts match") {
