@@ -296,7 +296,14 @@ object Bench {
          |the number that represents the corpus-scale (cache-miss) path
          |honestly.
          |""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
+    // BENCH_EXTRA.md carries hand-measured drill evidence (lifecycle,
+    // curation, ...) that a bench re-run must not clobber
+    val extraPath = java.nio.file.Paths.get("BENCH_EXTRA.md")
+    val extra =
+      if (java.nio.file.Files.exists(extraPath))
+        "\n" + java.nio.file.Files.readString(extraPath)
+      else ""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md + extra)
 
     println(json)
   }
