@@ -86,23 +86,30 @@ object Dedup {
     * drop a shingle from one side only and mask a real overlap); the
     * containment denominator is the benchmark's CAPPED shingle count.
     * Output: (train_id, bench_id, containment). */
-  def contaminationPairs(train: DataFrame, bench: DataFrame,
-                         textCol: String = "text", k: Int = 3,
-                         minContainment: Double = 0.8,
-                         maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+  /** Capped cross-corpus shingle sets: `(train(train_id, shingle),
+    * bench(bench_id, shingle))` after the union hot-shingle cap. */
+  private def cappedCrossShingles(train: DataFrame, bench: DataFrame,
+                                  textCol: String, k: Int,
+                                  maxShingleDf: Long): (DataFrame, DataFrame) = {
     val tSh = shingles(train, textCol, k, maxShingleDf = 0)
       .select(col("doc_id").as("train_id"), col("shingle"))
     val bSh = shingles(bench, textCol, k, maxShingleDf = 0)
       .select(col("doc_id").as("bench_id"), col("shingle"))
-    val (t, b) =
-      if (maxShingleDf <= 0) (tSh, bSh)
-      else {
-        val hot = tSh.select(col("shingle")).unionAll(bSh.select(col("shingle")))
-          .groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
-          .filter(col("sdf") > maxShingleDf).select("shingle")
-        (tSh.join(hot, Seq("shingle"), "left_anti"),
-          bSh.join(hot, Seq("shingle"), "left_anti"))
-      }
+    if (maxShingleDf <= 0) (tSh, bSh)
+    else {
+      val hot = tSh.select(col("shingle")).unionAll(bSh.select(col("shingle")))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") > maxShingleDf).select("shingle")
+      (tSh.join(hot, Seq("shingle"), "left_anti"),
+        bSh.join(hot, Seq("shingle"), "left_anti"))
+    }
+  }
+
+  def contaminationPairs(train: DataFrame, bench: DataFrame,
+                         textCol: String = "text", k: Int = 3,
+                         minContainment: Double = 0.8,
+                         maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val (t, b) = cappedCrossShingles(train, bench, textCol, k, maxShingleDf)
     val nb = b.groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
     t.join(b, Seq("shingle"))
       .groupBy(col("train_id"), col("bench_id")).agg(count(lit(1)).as("c"))
@@ -110,6 +117,25 @@ object Dedup {
       .select(col("train_id"), col("bench_id"),
         (col("c").cast("double") / col("nb")).as("containment"))
       .filter(col("containment") >= minContainment)
+  }
+
+  /** Per-benchmark-item shingle coverage under [[contaminationPairs]]'s
+    * union hot-shingle cap. An item with `n_usable = 0` consists entirely
+    * of corpus-ubiquitous n-grams (every shingle over the df cap) and is
+    * UNDETECTABLE by the capped sweep — a decontamination pipeline must
+    * surface those instead of silently reporting "no contamination" (at
+    * 10^9-doc scale a boilerplate-only eval snippet is exactly the item
+    * that slips through). Output: (bench_id, n_shingles, n_usable). */
+  def contaminationCoverage(train: DataFrame, bench: DataFrame,
+                            textCol: String = "text", k: Int = 3,
+                            maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val raw = shingles(bench, textCol, k, maxShingleDf = 0)
+      .groupBy(col("doc_id").as("bench_id")).agg(count(lit(1)).as("n_shingles"))
+    val (_, b) = cappedCrossShingles(train, bench, textCol, k, maxShingleDf)
+    val usable = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_usable"))
+    raw.join(usable, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_shingles"),
+        coalesce(col("n_usable"), lit(0L)).as("n_usable"))
   }
 
   // ---------- MinHash + LSH ----------

@@ -415,6 +415,18 @@ class PipelineSpec extends AnyFunSuite {
     val foreign = Seq((999999L, "zzz yyy xxx www vvv uuu ttt sss"))
       .toDF("doc_id", "text")
     assert(Dedup.contaminationPairs(docs, foreign, minContainment = 0.01).isEmpty)
+    // items made ENTIRELY of over-cap (corpus-ubiquitous) shingles are
+    // undetectable; the coverage report must surface them, not stay silent
+    val hotTrain = (0 until 20).map(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val hotBench = Seq((900L, "alpha beta gamma delta"), (901L, "rare unique tokens here"))
+      .toDF("doc_id", "text")
+    val cov = Dedup.contaminationCoverage(hotTrain, hotBench, maxShingleDf = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cov(900L) == (2L, 0L), s"all-hot item must report n_usable 0, got ${cov(900L)}")
+    assert(cov(901L)._2 == cov(901L)._1, "unique item keeps all shingles usable")
+    assert(Dedup.contaminationPairs(hotTrain, hotBench, minContainment = 0.1,
+      maxShingleDf = 5).isEmpty, "all-hot item must not pair under the cap")
   }
 
   test("fused curate equals the individual operators joined on doc_id") {
