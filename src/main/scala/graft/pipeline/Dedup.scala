@@ -75,17 +75,6 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Cross-corpus contamination: training docs whose n-gram overlap with a
-    * BENCHMARK/EVAL item exceeds `minContainment` — the decontamination
-    * sweep a training pipeline runs before release. Same shingle-bucketed
-    * plan as [[ngramJaccardPairs]] but across two tables, and the metric is
-    * CONTAINMENT of the benchmark side (|A∩B| / |benchmark shingles|), not
-    * symmetric Jaccard: a huge training doc that embeds a whole benchmark
-    * item must be caught regardless of its own size. The hot-shingle cap is
-    * computed over the UNION of both corpora (capping each side alone could
-    * drop a shingle from one side only and mask a real overlap); the
-    * containment denominator is the benchmark's CAPPED shingle count.
-    * Output: (train_id, bench_id, containment). */
   /** Capped cross-corpus shingle sets: `(train(train_id, shingle),
     * bench(bench_id, shingle))` after the union hot-shingle cap. */
   private def cappedCrossShingles(train: DataFrame, bench: DataFrame,
@@ -105,6 +94,19 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus contamination: training docs whose n-gram overlap with a
+    * BENCHMARK/EVAL item exceeds `minContainment` — the decontamination
+    * sweep a training pipeline runs before release. Same shingle-bucketed
+    * plan as [[ngramJaccardPairs]] but across two tables, and the metric is
+    * CONTAINMENT of the benchmark side (|A∩B| / |benchmark shingles|), not
+    * symmetric Jaccard: a huge training doc that embeds a whole benchmark
+    * item must be caught regardless of its own size. The hot-shingle cap is
+    * computed over the UNION of both corpora (capping each side alone could
+    * drop a shingle from one side only and mask a real overlap); the
+    * containment denominator is the benchmark's CAPPED shingle count.
+    * Output: (train_id, bench_id, containment). Pair with
+    * [[contaminationCoverage]] — items the cap (or a sub-k length) makes
+    * undetectable report nothing here. */
   def contaminationPairs(train: DataFrame, bench: DataFrame,
                          textCol: String = "text", k: Int = 3,
                          minContainment: Double = 0.8,
@@ -120,21 +122,41 @@ object Dedup {
   }
 
   /** Per-benchmark-item shingle coverage under [[contaminationPairs]]'s
-    * union hot-shingle cap. An item with `n_usable = 0` consists entirely
-    * of corpus-ubiquitous n-grams (every shingle over the df cap) and is
-    * UNDETECTABLE by the capped sweep — a decontamination pipeline must
-    * surface those instead of silently reporting "no contamination" (at
-    * 10^9-doc scale a boilerplate-only eval snippet is exactly the item
-    * that slips through). Output: (bench_id, n_shingles, n_usable). */
+    * union hot-shingle cap. EVERY bench item is reported, including those
+    * shorter than k tokens (zero shingles). An item with `n_usable = 0`
+    * has nothing the sweep can match on — every shingle over the df cap
+    * (corpus-ubiquitous boilerplate), or too short to shingle — and is
+    * UNDETECTABLE; a decontamination pipeline must surface those instead
+    * of silently reporting "no contamination" (at 10^9-doc scale a
+    * boilerplate-only eval snippet is exactly the item that slips
+    * through). Output: (bench_id, n_shingles, n_usable). Cost note: the
+    * union df cap needs the train shingles, so running this alongside
+    * [[contaminationPairs]] scans the training corpus twice — persist the
+    * shingle sets yourself if that matters. */
   def contaminationCoverage(train: DataFrame, bench: DataFrame,
                             textCol: String = "text", k: Int = 3,
                             maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val raw = shingles(bench, textCol, k, maxShingleDf = 0)
-      .groupBy(col("doc_id").as("bench_id")).agg(count(lit(1)).as("n_shingles"))
-    val (_, b) = cappedCrossShingles(train, bench, textCol, k, maxShingleDf)
-    val usable = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_usable"))
-    raw.join(usable, Seq("bench_id"), "left")
-      .select(col("bench_id"), col("n_shingles"),
+    val bSh = shingles(bench, textCol, k, maxShingleDf = 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val raw = bSh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_shingles"))
+    val hotFree =
+      if (maxShingleDf <= 0) bSh
+      else {
+        val tSh = shingles(train, textCol, k, maxShingleDf = 0)
+        val hot = tSh.select(col("shingle"))
+          .unionAll(bSh.select(col("shingle")))
+          .groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+          .filter(col("sdf") > maxShingleDf).select("shingle")
+        bSh.join(hot, Seq("shingle"), "left_anti")
+      }
+    val usable = hotFree.groupBy(col("bench_id")).agg(count(lit(1)).as("n_usable"))
+    // anchor on the bench TABLE, not its shingles: an item under k tokens
+    // yields no shingles at all and must still surface as (0, 0)
+    bench.select(col("doc_id").as("bench_id")).distinct()
+      .join(raw, Seq("bench_id"), "left")
+      .join(usable, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_usable"), lit(0L)).as("n_usable"))
   }
 

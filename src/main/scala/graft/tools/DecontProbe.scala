@@ -27,6 +27,7 @@ object DecontProbe {
     }
 
     val work = java.nio.file.Files.createTempDirectory("graft-decont").toString
+    try {
     CorpusGen.generate(spark, n, seed = 42, numRepos = 200)
       .select(col("doc_id"), col("content").as("text"))
       .write.mode("overwrite").parquet(s"$work/train")
@@ -57,6 +58,11 @@ object DecontProbe {
       s"every coverable benchmark item must be caught in its source: " +
         s"$nSelf != $nBench - $nUndetectable")
     println(f"[probe] OK: ${n / 1.0}%.0f docs decontaminated against $nBench items")
-    spark.stop()
+    } finally {
+      // the generated corpus parquet is GB-scale at large n — never leak it
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(work), true)
+      spark.stop()
+    }
   }
 }

@@ -33,6 +33,7 @@ object LifecycleDrill {
     }
 
     val work = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+    try {
     val corpus = CorpusGen.generate(spark, n, seed = 42, numRepos = 200)
     corpus.write.mode("overwrite").parquet(s"$work/corpus")
     // stage as nFiles stream files (one micro-batch each)
@@ -80,6 +81,11 @@ object LifecycleDrill {
         s"merged result diverges from batch twin for [$q]")
     }
     println(s"[drill] OK: $nFiles-batch stream ingest + LSM merge == batch build at $n docs")
-    spark.stop()
+    } finally {
+      // two full index copies + the staged corpus — never leak them
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(work), true)
+      spark.stop()
+    }
   }
 }

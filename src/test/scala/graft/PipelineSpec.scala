@@ -419,12 +419,16 @@ class PipelineSpec extends AnyFunSuite {
     // undetectable; the coverage report must surface them, not stay silent
     val hotTrain = (0 until 20).map(i => (i.toLong, "alpha beta gamma delta"))
       .toDF("doc_id", "text")
-    val hotBench = Seq((900L, "alpha beta gamma delta"), (901L, "rare unique tokens here"))
+    val hotBench = Seq((900L, "alpha beta gamma delta"), (901L, "rare unique tokens here"),
+      (902L, "tiny"))
       .toDF("doc_id", "text")
     val cov = Dedup.contaminationCoverage(hotTrain, hotBench, maxShingleDf = 5)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(cov(900L) == (2L, 0L), s"all-hot item must report n_usable 0, got ${cov(900L)}")
     assert(cov(901L)._2 == cov(901L)._1, "unique item keeps all shingles usable")
+    // an item under k tokens yields no shingles at all — it must still be
+    // reported (as undetectable), never silently absent
+    assert(cov(902L) == (0L, 0L), s"sub-k item must surface as (0,0), got ${cov.get(902L)}")
     assert(Dedup.contaminationPairs(hotTrain, hotBench, minContainment = 0.1,
       maxShingleDf = 5).isEmpty, "all-hot item must not pair under the cap")
   }
