@@ -306,6 +306,12 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md + extra)
 
     println(json)
+    // the generated corpus + three index copies are ~2.4 GB per run — never
+    // leak them on the shared VM (report already written; best-effort)
+    try {
+      org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+        .delete(new org.apache.hadoop.fs.Path(work), true); ()
+    } catch { case _: Exception => () }
   }
 
   private def median(xs: Seq[Double]): Double = {
