@@ -2,6 +2,7 @@ package graft
 
 import graft.pipeline._
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Validates the training-data pipeline operators: dedup family (exact,
@@ -477,6 +478,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L).getAs[Long]("n_emails") == 0 &&
       out(4L).getAs[Long]("n_ips") == 0 && out(4L).getAs[Long]("n_digit_runs") == 0)
     assert(out(4L).getAs[String]("text_clean") == "clean text with no pii at all")
+  }
+
+  test("property: JPEG round-trip at any 16-bit dims; random bytes never crash the parsers") {
+    import Multimodal.MediaCodec
+    PropCheck.forAllG2(Gen.chooseNum(1L, 65535L), Gen.chooseNum(1L, 65535L), n = 100) {
+      (w, h) => assert(MediaCodec.parseJpeg(MediaCodec.jpegBytes(w, h)).contains((w, h)))
+    }
+    // arbitrary byte soup (including FFD8-prefixed garbage) must reject or
+    // parse, never throw — corrupt lake payloads are routine at scale
+    val bytesGen = Gen.chooseNum(0, 64).flatMap(len =>
+      Gen.listOfN(len, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    PropCheck.forAllG(bytesGen, n = 200) { raw =>
+      MediaCodec.parseJpeg(raw); MediaCodec.parsePng(raw); MediaCodec.parseWav(raw)
+      val withSoi = Array(0xff.toByte, 0xd8.toByte) ++ raw
+      MediaCodec.parseJpeg(withSoi)
+      MediaCodec.decode(0L, withSoi) // stub fallback must also hold
+      ()
+    }
+  }
+
+  test("property: Sampling.bucket matches the modular formula for arbitrary longs") {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    PropCheck.forAllG(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue), n = 200)(ids += _)
+    ids.toSeq.map(Tuple1(_)).toDF("doc_id")
+      .select(col("doc_id"), Sampling.bucket(col("doc_id")).as("b"))
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val expected = math.floorMod(
+          math.floorMod(id, Sampling.Buckets) * (Sampling.Knuth % Sampling.Buckets),
+          Sampling.Buckets)
+        assert(r.getLong(1) == expected && r.getLong(1) >= 0 &&
+          r.getLong(1) < Sampling.Buckets, s"bucket($id)")
+      }
+  }
+
+  test("property: scrubPii is idempotent (redacted text has nothing left to redact)") {
+    val textGen = Gen.listOfN(8, Gen.oneOf(
+      "plain words here", "a@b.co", "x 10.1.2.3 y", "12345678", "u@example.org",
+      "zip 12345", "v1.2.3", "255.255.255.255")).map(_.mkString(" "))
+    PropCheck.forAllG(textGen, n = 60) { text =>
+      val once = TextAnalysis.scrubPii(Seq((1L, text)).toDF("doc_id", "text"))
+        .select("text_clean").head.getString(0)
+      val twiceRow = TextAnalysis.scrubPii(Seq((1L, once)).toDF("doc_id", "text"))
+        .select(col("text_clean"), col("n_emails") + col("n_ips") + col("n_digit_runs"))
+        .head
+      assert(twiceRow.getString(0) == once, s"not a fixpoint: [$text]")
+      assert(twiceRow.getLong(1) == 0L, s"second pass still found PII in [$once]")
+    }
   }
 
   test("MediaCodec parses JPEG SOF dimensions; rejects corrupt JPEG markers to stub") {
