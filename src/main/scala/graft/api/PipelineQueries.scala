@@ -48,6 +48,39 @@ object PipelineQueries {
     """SELECT vec_id, embedding FROM embeddings
       |UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
+  /** Shared corpora of the decontamination queries: (train = documents,
+    * bench = first-12-token snippets of every 25th doc, ids +500000). */
+  private def decontCorpora(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat_ws(" ", slice(graft.analysis.Analyzer.tokens(col("text")),
+          1, 12)).as("text"))
+    (docs, bench)
+  }
+
+  /** Shared CTE chain of the decontamination oracles: derived bench corpus
+    * → per-side shingles (tsh0/bsh0 raw, tsh/bsh union-df-capped). */
+  private val decontCtes: String = {
+    val cap = Dedup.DefaultMaxShingleDf
+    s"""bench AS (
+       |  SELECT doc_id + 500000 AS doc_id,
+       |    array_to_string((list_filter(string_split(lower(text), ' '), x -> x <> ''))[1:12], ' ') AS text
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |ttoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts FROM documents),
+       |btoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts FROM bench),
+       |tidx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+       |         FROM ttoks WHERE len(ts) >= 3),
+       |bidx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+       |         FROM btoks WHERE len(ts) >= 3),
+       |tsh0 AS (SELECT DISTINCT doc_id AS train_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM tidx),
+       |bsh0 AS (SELECT DISTINCT doc_id AS bench_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM bidx),
+       |hot AS (SELECT s FROM (SELECT s FROM tsh0 UNION ALL SELECT s FROM bsh0)
+       |        GROUP BY s HAVING count(*) > $cap),
+       |tsh AS (SELECT train_id, s FROM tsh0 WHERE s NOT IN (SELECT s FROM hot)),
+       |bsh AS (SELECT bench_id, s FROM bsh0 WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
+  }
+
   /** SQL twin of the tokenizer over a derived docs relation. */
   private def toksCte(docs: String): String =
     s"""WITH docs AS ($docs),
@@ -234,42 +267,40 @@ object PipelineQueries {
     // source doc that embeds the whole item is caught at containment 1.0
     QueryDef("q_decontaminate",
       (s, dir) => {
-        val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
-        val bench = docs.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 500000).as("doc_id"),
-            concat_ws(" ", slice(graft.analysis.Analyzer.tokens(col("text")),
-              1, 12)).as("text"))
+        val (docs, bench) = decontCorpora(s, dir)
         Dedup.contaminationPairs(docs, bench, minContainment = 0.8)
           .select(col("train_id"), col("bench_id"),
             round(col("containment"), 4).as("containment"))
           .orderBy("train_id", "bench_id")
       },
-      Some {
-        val cap = Dedup.DefaultMaxShingleDf
-        s"""WITH bench AS (
-           |  SELECT doc_id + 500000 AS doc_id,
-           |    array_to_string((list_filter(string_split(lower(text), ' '), x -> x <> ''))[1:12], ' ') AS text
-           |  FROM documents WHERE doc_id % 25 = 0),
-           |ttoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts FROM documents),
-           |btoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts FROM bench),
-           |tidx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
-           |         FROM ttoks WHERE len(ts) >= 3),
-           |bidx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
-           |         FROM btoks WHERE len(ts) >= 3),
-           |tsh0 AS (SELECT DISTINCT doc_id AS train_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM tidx),
-           |bsh0 AS (SELECT DISTINCT doc_id AS bench_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM bidx),
-           |hot AS (SELECT s FROM (SELECT s FROM tsh0 UNION ALL SELECT s FROM bsh0)
-           |        GROUP BY s HAVING count(*) > $cap),
-           |tsh AS (SELECT train_id, s FROM tsh0 WHERE s NOT IN (SELECT s FROM hot)),
-           |bsh AS (SELECT bench_id, s FROM bsh0 WHERE s NOT IN (SELECT s FROM hot)),
+      Some(
+        s"""WITH $decontCtes,
            |nb AS (SELECT bench_id, count(*) AS nb FROM bsh GROUP BY bench_id),
            |inter AS (SELECT train_id, bench_id, count(*) AS c
            |          FROM tsh JOIN bsh USING (s) GROUP BY 1, 2)
            |SELECT train_id, bench_id, round(c * 1.0 / nb.nb, 4) AS containment
            |FROM inter JOIN nb USING (bench_id)
            |WHERE c * 1.0 / nb.nb >= 0.8
-           |ORDER BY train_id, bench_id""".stripMargin
-      }),
+           |ORDER BY train_id, bench_id""".stripMargin)),
+
+    // per-benchmark-item coverage of the same sweep: items whose shingles
+    // are all over the df cap (or too short to shingle) report n_usable = 0
+    // — the "undetectable, don't trust its silence" signal
+    QueryDef("q_decontaminate_coverage",
+      (s, dir) => {
+        val (docs, bench) = decontCorpora(s, dir)
+        Dedup.contaminationCoverage(docs, bench).orderBy("bench_id")
+      },
+      Some(
+        s"""WITH $decontCtes,
+           |raw AS (SELECT bench_id, count(*) AS n_shingles FROM bsh0 GROUP BY bench_id),
+           |usable AS (SELECT bench_id, count(*) AS n_usable FROM bsh GROUP BY bench_id)
+           |SELECT b.doc_id AS bench_id,
+           |  coalesce(raw.n_shingles, 0) AS n_shingles,
+           |  coalesce(usable.n_usable, 0) AS n_usable
+           |FROM bench b LEFT JOIN raw ON b.doc_id = raw.bench_id
+           |LEFT JOIN usable ON b.doc_id = usable.bench_id
+           |ORDER BY bench_id""".stripMargin)),
 
     // dup-group clustering: connected components over the Jaccard pairs,
     // hash-verified against a recursive-CTE transitive closure
