@@ -165,6 +165,7 @@ object Bench {
     // ≥3 reps per criterion level; the efficiency is computed from medians
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    try {
 
     // generate the shared input once (generation is NOT timed)
     locally {
@@ -306,12 +307,15 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md + extra)
 
     println(json)
-    // the generated corpus + three index copies are ~2.4 GB per run — never
-    // leak them on the shared VM (report already written; best-effort)
-    try {
-      org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
-        .delete(new org.apache.hadoop.fs.Path(work), true); ()
-    } catch { case _: Exception => () }
+    } finally {
+      // the generated corpus + three index copies are ~2.4 GB per run —
+      // never leak them on the shared VM, success or failure (best-effort:
+      // a delete error must not mask a bench failure)
+      try {
+        org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+          .delete(new org.apache.hadoop.fs.Path(work), true); ()
+      } catch { case _: Exception => () }
+    }
   }
 
   private def median(xs: Seq[Double]): Double = {

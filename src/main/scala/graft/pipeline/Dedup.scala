@@ -136,20 +136,13 @@ object Dedup {
   def contaminationCoverage(train: DataFrame, bench: DataFrame,
                             textCol: String = "text", k: Int = 3,
                             maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val bSh = shingles(bench, textCol, k, maxShingleDf = 0)
-      .select(col("doc_id").as("bench_id"), col("shingle"))
-    val raw = bSh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_shingles"))
-    val hotFree =
-      if (maxShingleDf <= 0) bSh
-      else {
-        val tSh = shingles(train, textCol, k, maxShingleDf = 0)
-        val hot = tSh.select(col("shingle"))
-          .unionAll(bSh.select(col("shingle")))
-          .groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
-          .filter(col("sdf") > maxShingleDf).select("shingle")
-        bSh.join(hot, Seq("shingle"), "left_anti")
-      }
-    val usable = hotFree.groupBy(col("bench_id")).agg(count(lit(1)).as("n_usable"))
+    val raw = shingles(bench, textCol, k, maxShingleDf = 0)
+      .groupBy(col("doc_id").as("bench_id")).agg(count(lit(1)).as("n_shingles"))
+    // the capped side MUST come from the same helper the sweep uses — a
+    // coverage report computed under a different cap rule than the sweep
+    // would describe the wrong blind spots
+    val (_, b) = cappedCrossShingles(train, bench, textCol, k, maxShingleDf)
+    val usable = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_usable"))
     // anchor on the bench TABLE, not its shingles: an item under k tokens
     // yields no shingles at all and must still surface as (0, 0)
     bench.select(col("doc_id").as("bench_id")).distinct()

@@ -59,9 +59,12 @@ object DecontProbe {
         s"$nSelf != $nBench - $nUndetectable")
     println(f"[probe] OK: ${n / 1.0}%.0f docs decontaminated against $nBench items")
     } finally {
-      // the generated corpus parquet is GB-scale at large n — never leak it
-      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(work), true)
+      // best-effort: a delete failure must not mask the probe's own
+      // diagnostic or skip the session stop
+      try {
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(work), true); ()
+      } catch { case _: Exception => () }
       spark.stop()
     }
   }

@@ -82,9 +82,12 @@ object LifecycleDrill {
     }
     println(s"[drill] OK: $nFiles-batch stream ingest + LSM merge == batch build at $n docs")
     } finally {
-      // two full index copies + the staged corpus — never leak them
-      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(work), true)
+      // best-effort: a delete failure must not mask the drill's own
+      // diagnostic or skip the session stop
+      try {
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(work), true); ()
+      } catch { case _: Exception => () }
       spark.stop()
     }
   }

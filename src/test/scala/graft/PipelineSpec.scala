@@ -505,9 +505,9 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("doc_id"), Sampling.bucket(col("doc_id")).as("b"))
       .collect().foreach { r =>
         val id = r.getLong(0)
-        val expected = math.floorMod(
-          math.floorMod(id, Sampling.Buckets) * (Sampling.Knuth % Sampling.Buckets),
-          Sampling.Buckets)
+        // the SPEC, not the implementation's factoring: (id·Knuth) mod B
+        // in unbounded arithmetic
+        val expected = (BigInt(id) * Sampling.Knuth).mod(BigInt(Sampling.Buckets)).toLong
         assert(r.getLong(1) == expected && r.getLong(1) >= 0 &&
           r.getLong(1) < Sampling.Buckets, s"bucket($id)")
       }
