@@ -16,8 +16,12 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Cli app.jar apps   <registryRoot>
   * spark-submit --class graft.Cli app.jar delete <indexDir> <docId,docId,...>
   * spark-submit --class graft.Cli app.jar dedup  <indexDir> [--min-jaccard 0.9] [--dry-run] [--checkpoint-dir d]
+  *   (--checkpoint-dir: the sweep creates, and afterwards deletes, a
+  *   generated graft-sweep-* SUBdirectory under d; d itself and its other
+  *   contents are never touched)
   * spark-submit --class graft.Cli app.jar stream <inputDir> <indexDir> [--checkpoint-dir d]
   * spark-submit --class graft.Cli app.jar curate <docsParquet> <outDir>
+  * spark-submit --class graft.Cli app.jar decontaminate <trainParquet> <benchParquet> <outDir> [--min-containment 0.8]
   * spark-submit --class graft.Cli app.jar merge  <indexDir> [--max-docs n]
   * spark-submit --class graft.Cli app.jar compact <indexDir>
   * spark-submit --class graft.Cli app.jar fields <indexDir>
@@ -26,7 +30,7 @@ import org.apache.spark.sql.SparkSession
 object Cli {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: gen|build|search|sql|apps|stream|delete|dedup|curate|merge|compact|fields ...")
+      "usage: gen|build|search|sql|apps|stream|delete|dedup|curate|decontaminate|merge|compact|fields ...")
     val spark = SparkSession.builder()
       .appName(s"graft-${args(0)}")
       .master(sys.props.getOrElse("spark.master",
@@ -34,8 +38,15 @@ object Cli {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Command dispatch on a caller-owned session — the whole CLI surface
+    * minus session lifecycle, so tests can drive every command without the
+    * shared test session being stopped by main's cleanup. */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
     import spark.implicits._
-    try args(0) match {
+    args(0) match {
       case "gen" =>
         val n = args(1).toLong
         CorpusGen.generate(spark, n, seed = 42, numRepos = 200)
@@ -172,7 +183,29 @@ object Cli {
         store.corpus().createOrReplaceTempView("corpus")
         store.docStats().createOrReplaceTempView("docstats")
         spark.sql(args.drop(2).mkString(" ")).show(100, truncate = 60)
+      case "decontaminate" =>
+        // cross-corpus decontamination: training docs containing benchmark
+        // items (n-gram containment) + the per-item coverage report, both
+        // from ONE scan of each corpus (Dedup.contaminationReport)
+        val minC = args.sliding(2).collectFirst {
+          case Array("--min-containment", v) => v.toDouble }.getOrElse(0.8)
+        def textify(df: org.apache.spark.sql.DataFrame) = {
+          val textCol = if (df.columns.contains("text")) "text" else "content"
+          df.select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col(textCol).as("text"))
+        }
+        val (pairs, coverage) = graft.pipeline.Dedup.contaminationReport(
+          textify(spark.read.parquet(args(1))),
+          textify(spark.read.parquet(args(2))), minContainment = minC)
+        pairs.write.mode("overwrite").parquet(s"${args(3)}/pairs")
+        coverage.write.mode("overwrite").parquet(s"${args(3)}/coverage")
+        val nPairs = spark.read.parquet(s"${args(3)}/pairs").count()
+        val blind = spark.read.parquet(s"${args(3)}/coverage")
+          .filter(org.apache.spark.sql.functions.col("n_usable") === 0).count()
+        println(s"[graft] decontamination: $nPairs contaminated (train, bench) " +
+          s"pairs at containment >= $minC -> ${args(3)}/pairs; $blind benchmark " +
+          s"items UNDETECTABLE (no usable shingles) -> ${args(3)}/coverage")
       case other => sys.error(s"unknown command $other")
-    } finally spark.stop()
+    }
   }
 }

@@ -59,6 +59,18 @@ object PipelineQueries {
     (docs, bench)
   }
 
+  /** One decontamination report per sf dir: pairs AND coverage from a
+    * single scan of each corpus ([[Dedup.contaminationReport]]) — both
+    * driver queries consume the same materialized shingle frames, which is
+    * exactly the 1-scan API shape the operator promises. */
+  private val decontCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  private def decontReport(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    decontCache.getOrElseUpdate(dir, {
+      val (docs, bench) = decontCorpora(s, dir)
+      Dedup.contaminationReport(docs, bench, minContainment = 0.8)
+    })
+
   /** Shared CTE chain of the decontamination oracles: derived bench corpus
     * → per-side shingles (tsh0/bsh0 raw, tsh/bsh union-df-capped). */
   private val decontCtes: String = {
@@ -266,13 +278,10 @@ object PipelineQueries {
     // vs the training corpus — containment of the benchmark side, so the
     // source doc that embeds the whole item is caught at containment 1.0
     QueryDef("q_decontaminate",
-      (s, dir) => {
-        val (docs, bench) = decontCorpora(s, dir)
-        Dedup.contaminationPairs(docs, bench, minContainment = 0.8)
-          .select(col("train_id"), col("bench_id"),
-            round(col("containment"), 4).as("containment"))
-          .orderBy("train_id", "bench_id")
-      },
+      (s, dir) => decontReport(s, dir)._1
+        .select(col("train_id"), col("bench_id"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("train_id", "bench_id"),
       Some(
         s"""WITH $decontCtes,
            |nb AS (SELECT bench_id, count(*) AS nb FROM bsh GROUP BY bench_id),
@@ -287,10 +296,7 @@ object PipelineQueries {
     // are all over the df cap (or too short to shingle) report n_usable = 0
     // — the "undetectable, don't trust its silence" signal
     QueryDef("q_decontaminate_coverage",
-      (s, dir) => {
-        val (docs, bench) = decontCorpora(s, dir)
-        Dedup.contaminationCoverage(docs, bench).orderBy("bench_id")
-      },
+      (s, dir) => decontReport(s, dir)._2.orderBy("bench_id"),
       Some(
         s"""WITH $decontCtes,
            |raw AS (SELECT bench_id, count(*) AS n_shingles FROM bsh0 GROUP BY bench_id),

@@ -66,13 +66,22 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
     * killed-count plan (slim docstats ⋉ tombstones per app) collected once.
     * A 10^4-app catalog listing must not schedule 10^4 count jobs. */
   def listApps(): DataFrame = {
-    val infos = appNames().map { name =>
-      // raw constructor, not app(): the listing reads only the manifest's
-      // segment list and tombstone footers — both layout-independent — so
-      // open()'s extra per-app manifest probe would double the driver-side
-      // FS round-trips of a large catalog for nothing
-      val store = new IndexStore(spark, s"$rootDir/$name", cfg)
-      (name, store.segments, store.tombstoneCount())
+    // per-app manifest/footer reads are independent driver-side FS
+    // round-trips — fan them out on a thread pool (like IndexStore's
+    // parquetFileMetrics): a 10^4-app catalog must not pay 10^4
+    // SEQUENTIAL metadata reads while every core sits idle
+    val infos = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(appNames().map { name => Future {
+        // raw constructor, not app(): the listing reads only the manifest's
+        // segment list and tombstone footers — both layout-independent — so
+        // open()'s extra per-app manifest probe would double the driver-side
+        // FS round-trips of a large catalog for nothing
+        val store = new IndexStore(spark, s"$rootDir/$name", cfg)
+        (name, store.segments, store.tombstoneCount())
+      }}), Duration.Inf)
     }
     val plain = infos.collect { case (name, segs, 0L) =>
       (name, segs.size.toLong, segs.map(_.numDocs).sum)

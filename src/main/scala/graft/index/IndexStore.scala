@@ -486,10 +486,13 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
 
   /** True when committed segment `segId` indexes exactly this corpus (all
     * fields, order-insensitive) — two small aggregation jobs over the
-    * stored segment corpus and the candidate batch. */
+    * stored segment corpus and the candidate batch. A committed 0-doc
+    * segment matches an empty candidate batch (the fingerprints agree on
+    * count, so an empty batch can never spuriously match a non-empty
+    * segment or vice versa) — a replayed empty micro-batch must verify as
+    * its own committed segment instead of re-claiming a fresh id forever. */
   def segmentMatches(segId: Int, corpus: Dataset[CorpusDoc]): Boolean =
-    segments.exists(s => s.id == segId && s.numDocs > 0) &&
-      stagedCorpusMatches(segId, corpus)
+    segments.exists(_.id == segId) && stagedCorpusMatches(segId, corpus)
 
   /** Deletes an UNCOMMITTED segment working directory (stage outputs +
     * checkpoints). Refuses to touch a committed segment. */

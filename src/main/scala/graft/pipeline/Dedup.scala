@@ -13,14 +13,35 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicate groups by content hash. Returns one row per duplicate
-    * group: (content_sha, keep_id = min doc_id, n_dups, doc_ids sorted).
-    * At any scale this is one hash-aggregation — the canonical exact-dedup. */
-  def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.groupBy(sha2(col(textCol), 256).as("content_sha"))
-      .agg(min(col("doc_id")).as("keep_id"),
-        count(lit(1)).as("n_dups"),
-        sort_array(collect_list(col("doc_id"))).as("doc_ids"))
-      .filter(col("n_dups") > 1)
+    * group: (content_sha, keep_id = min doc_id, n_dups). At any scale this
+    * is one hash-aggregation — the canonical exact-dedup.
+    *
+    * The member id list is NOT in the default output: a pathological group
+    * (10^8 copies of a boilerplate file — real in crawl data) would put
+    * every member id into one reducer's aggregation buffer. Pass
+    * `maxIdsPerGroup > 0` to add a `doc_ids_sample` column holding the
+    * smallest `maxIdsPerGroup` ids per group; the bound is enforced BEFORE
+    * aggregation (row_number over the same grouping key, so the window and
+    * the aggregate share one shuffle) — the agg buffer itself stays
+    * bounded, not just the output column. */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+                  maxIdsPerGroup: Int = 0): DataFrame = {
+    val keyed = docs.select(sha2(col(textCol), 256).as("content_sha"), col("doc_id"))
+    if (maxIdsPerGroup <= 0)
+      keyed.groupBy(col("content_sha"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_sha")).orderBy(col("doc_id"))
+      keyed.withColumn("rn", row_number().over(w))
+        .groupBy(col("content_sha"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"),
+          sort_array(collect_list(when(col("rn") <= maxIdsPerGroup, col("doc_id"))))
+            .as("doc_ids_sample"))
+        .filter(col("n_dups") > 1)
+    }
+  }
 
   /** Default shingle document-frequency cap: a shingle shared by more docs
     * than this is boilerplate, not dedup signal, and its bucket join would
@@ -38,13 +59,8 @@ object Dedup {
     * ON by default ([[DefaultMaxShingleDf]]); 0 disables. */
   def shingles(docs: DataFrame, textCol: String = "text", k: Int = 3,
                maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), size(col("toks")) - k),
-          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(k))))).as("shingle"))
-      .distinct()
+    val sh = shingleExpand(
+      docs.select(col("doc_id"), Analyzer.tokens(col(textCol)).as("toks")), k)
     if (maxShingleDf <= 0) sh
     else {
       val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
@@ -52,6 +68,18 @@ object Dedup {
       sh.join(hot, Seq("shingle"), "left_anti")
     }
   }
+
+  /** Distinct k-token shingles from pre-tokenized rows `(doc_id, toks)` —
+    * the expansion half of [[shingles]], split out so a caller that already
+    * materialized the token arrays (e.g. [[contaminationReport]]'s
+    * single-scan path) can shingle without re-reading the corpus. */
+  private def shingleExpand(toksDf: DataFrame, k: Int): DataFrame =
+    toksDf
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(k))))).as("shingle"))
+      .distinct()
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ minJaccard.
@@ -75,23 +103,81 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Capped cross-corpus shingle sets: `(train(train_id, shingle),
-    * bench(bench_id, shingle))` after the union hot-shingle cap. */
-  private def cappedCrossShingles(train: DataFrame, bench: DataFrame,
-                                  textCol: String, k: Int,
-                                  maxShingleDf: Long): (DataFrame, DataFrame) = {
-    val tSh = shingles(train, textCol, k, maxShingleDf = 0)
-      .select(col("doc_id").as("train_id"), col("shingle"))
-    val bSh = shingles(bench, textCol, k, maxShingleDf = 0)
-      .select(col("doc_id").as("bench_id"), col("shingle"))
-    if (maxShingleDf <= 0) (tSh, bSh)
+  /** Union hot-shingle cap over RAW per-side shingle frames
+    * `(train_id, shingle)` / `(bench_id, shingle)` — the cap is computed
+    * over the UNION of both corpora (capping each side alone could drop a
+    * shingle from one side only and mask a real overlap). */
+  private def capCrossShingles(tSh0: DataFrame, bSh0: DataFrame,
+                               maxShingleDf: Long): (DataFrame, DataFrame) = {
+    if (maxShingleDf <= 0) (tSh0, bSh0)
     else {
-      val hot = tSh.select(col("shingle")).unionAll(bSh.select(col("shingle")))
+      val hot = tSh0.select(col("shingle")).unionAll(bSh0.select(col("shingle")))
         .groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
         .filter(col("sdf") > maxShingleDf).select("shingle")
-      (tSh.join(hot, Seq("shingle"), "left_anti"),
-        bSh.join(hot, Seq("shingle"), "left_anti"))
+      (tSh0.join(hot, Seq("shingle"), "left_anti"),
+        bSh0.join(hot, Seq("shingle"), "left_anti"))
     }
+  }
+
+  /** Core of the decontamination sweep, over PRECOMPUTED raw shingle
+    * frames: `tSh0(train_id, shingle)`, `bSh0(bench_id, shingle)` (both
+    * uncapped — the union cap is applied here so pairs and coverage see the
+    * identical cap rule), plus `benchIds(bench_id)` anchoring coverage rows
+    * for items too short to shingle. Returns `(pairs, coverage)` with the
+    * schemas of [[contaminationPairs]] / [[contaminationCoverage]]. Callers
+    * that want both results from one corpus scan should materialize the
+    * inputs once — [[contaminationReport]] does exactly that. */
+  def contaminationFrom(tSh0: DataFrame, bSh0: DataFrame, benchIds: DataFrame,
+                        minContainment: Double = 0.8,
+                        maxShingleDf: Long = DefaultMaxShingleDf): (DataFrame, DataFrame) = {
+    val (t, b) = capCrossShingles(tSh0, bSh0, maxShingleDf)
+    val nb = b.groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
+    val pairs = t.join(b, Seq("shingle"))
+      .groupBy(col("train_id"), col("bench_id")).agg(count(lit(1)).as("c"))
+      .join(nb, Seq("bench_id"))
+      .select(col("train_id"), col("bench_id"),
+        (col("c").cast("double") / col("nb")).as("containment"))
+      .filter(col("containment") >= minContainment)
+    val raw = bSh0.groupBy(col("bench_id")).agg(count(lit(1)).as("n_shingles"))
+    val usable = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_usable"))
+    // anchor on the bench TABLE's ids, not its shingles: an item under k
+    // tokens yields no shingles at all and must still surface as (0, 0)
+    val coverage = benchIds.distinct()
+      .join(raw, Seq("bench_id"), "left")
+      .join(usable, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_usable"), lit(0L)).as("n_usable"))
+    (pairs, coverage)
+  }
+
+  /** Single-scan decontamination: pairs AND coverage from ONE pass over
+    * each corpus. The training corpus's shingle frame and the benchmark's
+    * token arrays are materialized eagerly (`localCheckpoint`, memory-and-
+    * disk), so consuming both returned frames never re-reads either input —
+    * the 1-scan shape [[Curation.curate]] gives the per-doc operators,
+    * applied to the cross-corpus sweep. At 10^9-doc training scale the
+    * train shingle frame is the big one; it spills to local disk per
+    * executor, which is still strictly cheaper than the second full
+    * tokenize+shingle pass the separate entry points would pay. Returns
+    * `(pairs, coverage)`. */
+  def contaminationReport(train: DataFrame, bench: DataFrame,
+                          textCol: String = "text", k: Int = 3,
+                          minContainment: Double = 0.8,
+                          maxShingleDf: Long = DefaultMaxShingleDf): (DataFrame, DataFrame) = {
+    val tSh0 = shingles(train, textCol, k, maxShingleDf = 0)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+      .localCheckpoint(true)
+    // the bench side checkpoints its TOKEN arrays, not its shingles: both
+    // the shingle expansion and the coverage anchor (ids incl. sub-k docs)
+    // derive from the same materialized pass — bench is scanned once
+    val bToks = bench
+      .select(col("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(true)
+    val bSh0 = shingleExpand(bToks, k)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val benchIds = bToks.select(col("doc_id").as("bench_id"))
+    contaminationFrom(tSh0, bSh0, benchIds, minContainment, maxShingleDf)
   }
 
   /** Cross-corpus contamination: training docs whose n-gram overlap with a
@@ -110,16 +196,12 @@ object Dedup {
   def contaminationPairs(train: DataFrame, bench: DataFrame,
                          textCol: String = "text", k: Int = 3,
                          minContainment: Double = 0.8,
-                         maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val (t, b) = cappedCrossShingles(train, bench, textCol, k, maxShingleDf)
-    val nb = b.groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
-    t.join(b, Seq("shingle"))
-      .groupBy(col("train_id"), col("bench_id")).agg(count(lit(1)).as("c"))
-      .join(nb, Seq("bench_id"))
-      .select(col("train_id"), col("bench_id"),
-        (col("c").cast("double") / col("nb")).as("containment"))
-      .filter(col("containment") >= minContainment)
-  }
+                         maxShingleDf: Long = DefaultMaxShingleDf): DataFrame =
+    contaminationFrom(
+      shingles(train, textCol, k, 0).select(col("doc_id").as("train_id"), col("shingle")),
+      shingles(bench, textCol, k, 0).select(col("doc_id").as("bench_id"), col("shingle")),
+      bench.select(col("doc_id").as("bench_id")),
+      minContainment, maxShingleDf)._1
 
   /** Per-benchmark-item shingle coverage under [[contaminationPairs]]'s
     * union hot-shingle cap. EVERY bench item is reported, including those
@@ -129,29 +211,21 @@ object Dedup {
     * UNDETECTABLE; a decontamination pipeline must surface those instead
     * of silently reporting "no contamination" (at 10^9-doc scale a
     * boilerplate-only eval snippet is exactly the item that slips
-    * through). Output: (bench_id, n_shingles, n_usable). Cost note: the
-    * union df cap needs the train shingles, so running this alongside
-    * [[contaminationPairs]] scans the training corpus twice — persist the
-    * shingle sets yourself if that matters. */
+    * through). Output: (bench_id, n_shingles, n_usable). The capped side
+    * comes from the same [[contaminationFrom]] core the sweep uses — a
+    * coverage report computed under a different cap rule than the sweep
+    * would describe the wrong blind spots. Cost note: the union df cap
+    * needs the train shingles, so running this alongside
+    * [[contaminationPairs]] scans the training corpus twice — use
+    * [[contaminationReport]] to get both results from one scan. */
   def contaminationCoverage(train: DataFrame, bench: DataFrame,
                             textCol: String = "text", k: Int = 3,
-                            maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val raw = shingles(bench, textCol, k, maxShingleDf = 0)
-      .groupBy(col("doc_id").as("bench_id")).agg(count(lit(1)).as("n_shingles"))
-    // the capped side MUST come from the same helper the sweep uses — a
-    // coverage report computed under a different cap rule than the sweep
-    // would describe the wrong blind spots
-    val (_, b) = cappedCrossShingles(train, bench, textCol, k, maxShingleDf)
-    val usable = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_usable"))
-    // anchor on the bench TABLE, not its shingles: an item under k tokens
-    // yields no shingles at all and must still surface as (0, 0)
-    bench.select(col("doc_id").as("bench_id")).distinct()
-      .join(raw, Seq("bench_id"), "left")
-      .join(usable, Seq("bench_id"), "left")
-      .select(col("bench_id"),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("n_usable"), lit(0L)).as("n_usable"))
-  }
+                            maxShingleDf: Long = DefaultMaxShingleDf): DataFrame =
+    contaminationFrom(
+      shingles(train, textCol, k, 0).select(col("doc_id").as("train_id"), col("shingle")),
+      shingles(bench, textCol, k, 0).select(col("doc_id").as("bench_id"), col("shingle")),
+      bench.select(col("doc_id").as("bench_id")),
+      maxShingleDf = maxShingleDf)._2
 
   // ---------- MinHash + LSH ----------
 
@@ -312,13 +386,26 @@ object Dedup {
                  checkpointDir: Option[String] = None): Long = {
     val docs = store.liveCorpus().select(col("doc_id"), col(textField))
     val pairs = minHashLshPairs(docs, textCol = textField, minJaccard = minJaccard)
+    applySweep(store, pairs, dryRun, checkpointDir)
+  }
+
+  /** Shared tail of the sweep pipelines: pairs → connected components →
+    * distributed bulk delete of every non-keeper. The sweep only ever
+    * creates (and afterwards removes) a GENERATED `graft-sweep-*`
+    * subdirectory inside the caller-supplied checkpoint dir — pointing the
+    * option at a pre-existing or shared directory must never destroy its
+    * other contents. */
+  private def applySweep(store: graft.index.IndexStore, pairs: DataFrame,
+                         dryRun: Boolean, checkpointDir: Option[String]): Long = {
+    val runDir = checkpointDir.map(dir =>
+      s"$dir/graft-sweep-${java.util.UUID.randomUUID().toString.take(8)}")
     // pin the victim set: delete()'s semi-join and the count below must not
     // re-run the whole dedup pipeline (and a concurrent-ish re-read of the
     // store inside delete() must see a FIXED victim list). With a
     // checkpointDir the pin survives executor loss, like dupGroups' rounds.
-    val victims0 = dupGroups(pairs, checkpointDir = checkpointDir)
+    val victims0 = dupGroups(pairs, checkpointDir = runDir)
       .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
-    val victims = checkpointDir match {
+    val victims = runDir match {
       case Some(dir) =>
         victims0.write.mode("overwrite").parquet(s"$dir/victims")
         store.spark.read.parquet(s"$dir/victims")
@@ -330,9 +417,10 @@ object Dedup {
       n
     } finally {
       // the sweep is the consuming caller of dupGroups' checkpoint contract:
-      // once the victim set has been applied, the directory's datasets
-      // (edges / label rounds / victims) are garbage — remove them
-      checkpointDir.foreach { dir =>
+      // once the victim set has been applied, the generated subdirectory's
+      // datasets (edges / label rounds / victims) are garbage — remove ONLY
+      // that subdirectory, never the caller's directory itself
+      runDir.foreach { dir =>
         val path = new org.apache.hadoop.fs.Path(dir)
         val fs = path.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
         fs.delete(path, true); ()

@@ -55,15 +55,21 @@ object StreamingIndex {
         .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       s"${store.baseDir}.stream-$tag.checkpoint"
     }
+    val conf = store.spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(inputDir)
-    val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
-    val canonical = keyed(fs.makeQualified(p).toUri.toString)
+    val canonical = keyed(p.getFileSystem(conf).makeQualified(p).toUri.toString)
     // a checkpoint keyed under the pre-canonicalization scheme (raw input
     // string) is still THIS (store, input) pair's — adopt it rather than
-    // silently re-ingesting everything under the new key
+    // silently re-ingesting everything under the new key. The probed paths
+    // derive from store.baseDir, which may live on a DIFFERENT filesystem
+    // than the input (hdfs:// input feeding a file:// store), so each
+    // existence probe resolves its own path's FileSystem.
+    def exists(s: String): Boolean = {
+      val cp = new org.apache.hadoop.fs.Path(s)
+      cp.getFileSystem(conf).exists(cp)
+    }
     val raw = keyed(inputDir)
-    if (raw != canonical && !fs.exists(new org.apache.hadoop.fs.Path(canonical)) &&
-        fs.exists(new org.apache.hadoop.fs.Path(raw))) raw
+    if (raw != canonical && !exists(canonical) && exists(raw)) raw
     else canonical
   }
 
@@ -77,10 +83,13 @@ object StreamingIndex {
     // input (use a fresh dir). Either silent choice can duplicate or drop
     // documents, so demand the operator decide.
     if (checkpoint.isEmpty) {
+      // legacy is input-derived, keyed is store-derived: resolve each probe
+      // through its OWN path's FileSystem (they can differ)
       val legacy = new org.apache.hadoop.fs.Path(inputDir + ".checkpoint")
       val lfs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val keyed = new org.apache.hadoop.fs.Path(checkpointDir)
-      require(!lfs.exists(legacy) || lfs.exists(keyed),
+      val kfs = keyed.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!lfs.exists(legacy) || kfs.exists(keyed),
         s"found a pre-existing stream checkpoint at $legacy (the old input-keyed " +
           s"layout). Pass it explicitly as the checkpoint dir if this store is its " +
           s"original consumer, or pass a fresh dir to re-ingest into a new store.")

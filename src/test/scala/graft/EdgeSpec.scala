@@ -319,6 +319,55 @@ class EdgeSpec extends AnyFunSuite {
     assert(rows == Seq(("a1", 1L, 18L), ("a2", 1L, 24L), ("a3", 1L, 30L)))
   }
 
+  test("listApps fans its per-app metadata reads out in parallel (100-app catalog)") {
+    // 100 apps as hand-written manifests (an app IS a dir with a committed
+    // manifest): the listing is pure driver-side FS metadata — zero Spark
+    // jobs for tombstone-free apps — and the round-trips must be pooled,
+    // not serial, so a big catalog lists in ~max(read) not sum(read)
+    val root = TestSpark.tempDir("manyapps")
+    (0 until 100).foreach { i =>
+      val d = java.nio.file.Paths.get(root, f"app$i%03d")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("manifest.json"),
+        s"""{"config":{"shardSpan":64,"fields":["content"]},""" +
+        s""""segments":[{"id":0,"numDocs":${i + 1}}]}""")
+    }
+    val reg = new graft.index.AppRegistry(spark, root)
+    val t0 = System.nanoTime()
+    val rows = reg.listApps().collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 100)
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toSeq
+      .sortBy(_._1).take(3) == Seq(("app000", 1L), ("app001", 2L), ("app002", 3L)))
+    assert(sec < 2.0, f"100-app listing took $sec%.1f s — metadata loop not pooled?")
+  }
+
+  test("Cli decontaminate writes pairs + coverage from one report") {
+    val work = TestSpark.tempDir("cli-decont")
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$work/train")
+    // bench: 4-token snippets of docs 0/10/20 (containment 1.0 in source)
+    // plus one sub-k item that must surface as undetectable
+    docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 900).as("doc_id"),
+        org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.slice(
+            graft.analysis.Analyzer.tokens($"text"), 1, 4)).as("text"))
+      .unionByName(Seq((999L, "tiny")).toDF("doc_id", "text"))
+      .write.parquet(s"$work/bench")
+    graft.Cli.run(spark, Array("decontaminate", s"$work/train", s"$work/bench",
+      s"$work/out", "--min-containment", "0.8"))
+    val pairs = spark.read.parquet(s"$work/out/pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 900L), (10L, 910L), (20L, 920L)))
+    val cov = spark.read.parquet(s"$work/out/coverage").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cov(999L) == 0L, "sub-k bench item must be reported undetectable")
+    assert(cov.size == 4)
+  }
+
   test("prefix expansion at code-point boundaries: U+D7FF-adjacent and astral prefixes") {
     val docs = Seq(
       CorpusDoc(1L, "r", "p/1", "a" * 40, "en", "x퟾ab x퟿ab"),

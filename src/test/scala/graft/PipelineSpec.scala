@@ -33,6 +33,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(groups.forall(_.getLong(2) == 2)) // n_dups
   }
 
+  test("exactGroups bounds the member-id sample even for a degenerate group") {
+    // a 100k-copy boilerplate group: the default output must not carry the
+    // member array at all, and the opt-in sample must bound the agg BUFFER
+    // (row_number before collect_list), not just slice the output
+    val big = spark.range(100000).select($"id".as("doc_id"), lit("same text").as("text"))
+      .unionByName(Seq((500000L, "unique row")).toDF("doc_id", "text"))
+    val default = Dedup.exactGroups(big).collect()
+    assert(default.length == 1 && default.head.getLong(2) == 100000L)
+    assert(!Dedup.exactGroups(big).columns.contains("doc_ids_sample"))
+    val sampled = Dedup.exactGroups(big, maxIdsPerGroup = 8).collect()
+    assert(sampled.length == 1)
+    val row = sampled.head
+    assert(row.getLong(2) == 100000L, "n_dups still counts every member")
+    val ids = row.getSeq[Long](3)
+    assert(ids == (0L until 8L), s"sample = smallest 8 ids, got $ids")
+  }
+
   test("minhash-LSH pairs == exact ngram-jaccard pairs (recall check)") {
     val exact = Dedup.ngramJaccardPairs(nearDup, minJaccard = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -127,9 +144,19 @@ class PipelineSpec extends AnyFunSuite {
     val hits = eng.search("alpha3", Seq("content"), k = 5).collect().map(_.getLong(0))
     assert(hits.toSeq == Seq(3L))
     // idempotent: nothing left to sweep (exercising the reliable-checkpoint
-    // variant of the sweep pipeline)
+    // variant of the sweep pipeline). The supplied checkpoint dir may be a
+    // SHARED directory: the sweep must create and remove only a generated
+    // graft-sweep-* subdirectory — pre-existing content survives
+    val ckptDir = TestSpark.tempDir("sweep-ckpt")
+    val foreign = java.nio.file.Paths.get(ckptDir, "precious.txt")
+    java.nio.file.Files.writeString(foreign, "do not delete")
     assert(Dedup.sweepIndex(store, minJaccard = 0.5,
-      checkpointDir = Some(TestSpark.tempDir("sweep-ckpt"))) == 0)
+      checkpointDir = Some(ckptDir)) == 0)
+    assert(java.nio.file.Files.exists(foreign),
+      "sweep destroyed pre-existing content of the shared checkpoint dir")
+    val leftovers = new java.io.File(ckptDir).listFiles()
+      .filter(_.getName.startsWith("graft-sweep-"))
+    assert(leftovers.isEmpty, s"generated subdir not cleaned: ${leftovers.toSeq}")
   }
 
   test("plan audit: no all-pairs join shape in any bucketed dedup/ANN plan") {
@@ -432,6 +459,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(cov(902L) == (0L, 0L), s"sub-k item must surface as (0,0), got ${cov.get(902L)}")
     assert(Dedup.contaminationPairs(hotTrain, hotBench, minContainment = 0.1,
       maxShingleDf = 5).isEmpty, "all-hot item must not pair under the cap")
+  }
+
+  test("contaminationReport: one scan per corpus, results equal the separate entry points") {
+    val dir = TestSpark.tempDir("decont-scan")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
+    docs.write.mode("overwrite").parquet(s"$dir/train")
+    docs.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 500000).as("doc_id"),
+        concat_ws(" ", slice(graft.analysis.Analyzer.tokens($"text"), 1, 12)).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/bench")
+    val train = spark.read.parquet(s"$dir/train")
+    val bench = spark.read.parquet(s"$dir/bench")
+    val (pairs, coverage) = Dedup.contaminationReport(train, bench, minContainment = 0.8)
+    // after the report's eager materialization, NEITHER returned frame may
+    // re-scan a file source: every leaf must be the checkpointed RDD
+    for ((df, name) <- Seq((pairs, "pairs"), (coverage, "coverage"))) {
+      val fileLeaves = df.queryExecution.optimizedPlan.collectLeaves()
+        .filterNot(_.getClass.getSimpleName.contains("LogicalRDD"))
+      assert(fileLeaves.isEmpty,
+        s"$name re-scans an input: ${fileLeaves.map(_.getClass.getSimpleName)}")
+    }
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(norm(pairs) ==
+      norm(Dedup.contaminationPairs(train, bench, minContainment = 0.8)))
+    assert(norm(coverage) == norm(Dedup.contaminationCoverage(train, bench)))
   }
 
   test("fused curate equals the individual operators joined on doc_id") {
