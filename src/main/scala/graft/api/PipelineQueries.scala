@@ -452,8 +452,32 @@ object PipelineQueries {
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
-             |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+             |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_approx
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // REAL merges-table BPE counting: the oracle replays the identical
+    // rank-ordered merges with the identical wrapped-symbol replace
+    // encoding — an exact cross-engine twin of the whole BPE chain
+    QueryDef("q_token_counts_bpe",
+      (s, dir) => TextAnalysis.bpeTokenCounts(Corpus.documents(s, dir))
+        .orderBy("doc_id"),
+      Some {
+        val merged = TextAnalysis.BpeMerges.foldLeft(
+          """regexp_replace(t, '(.)', ' \1 ', 'g')""") { case (s, (a, b)) =>
+          s"replace($s, ' $a  $b ', ' $a$b ')"
+        }
+        s"""WITH pre AS (SELECT doc_id, unnest(regexp_extract_all(text,
+           |       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS t FROM documents),
+           |m AS (SELECT doc_id, $merged AS s FROM pre),
+           |cnt AS (SELECT doc_id,
+           |        sum((length(s) - length(replace(s, ' ', ''))) // 2) AS n_bpe
+           |        FROM m GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_pretokens,
+           |  coalesce(cnt.n_bpe, 0)::BIGINT AS n_bpe_tokens
+           |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
 
     // winnowed fingerprints over the portable hash family — the full
     // shingle-hash → window-min → distinct chain is hash-verified via
@@ -509,7 +533,7 @@ object PipelineQueries {
           round(col("uniq_ratio"), 4).as("uniq_ratio"),
           round(col("stopword_ratio"), 4).as("stopword_ratio"),
           round(col("nonalnum_ratio"), 4).as("nonalnum_ratio"),
-          col("n_bpe_tokens"),
+          col("n_bpe_approx"),
           (col("n_emails") + col("n_ips") + col("n_digit_runs")).as("n_pii"),
           length(col("text_clean")).as("n_clean_chars"), col("split"))
         .orderBy("doc_id"),
@@ -543,7 +567,7 @@ object PipelineQueries {
            |  round(coalesce(a.n_uniq, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1), 4) AS uniq_ratio,
            |  round(coalesce(a.n_stop, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1), 4) AS stopword_ratio,
            |  round(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) * 1.0 / greatest(length(d.text), 1), 4) AS nonalnum_ratio,
-           |  len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+           |  len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_approx,
            |  s3.n_emails + s3.n_ips + s3.n_digit_runs AS n_pii, s3.n_clean_chars,
            |  CASE WHEN ${Sampling.bucketSql("d.doc_id")} < 800000 THEN 'train'
            |       WHEN ${Sampling.bucketSql("d.doc_id")} < 900000 THEN 'val'

@@ -48,8 +48,8 @@ object Curation {
         greatest(size(col("toks")), lit(1))).as("stopword_ratio"),
       (length(regexp_replace(col("t"), "[a-z0-9 ]", "")).cast("double") /
         greatest(length(col("t")), lit(1))).as("nonalnum_ratio"),
-      regexp_count(col("t"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
-        .cast("long").as("n_bpe_tokens"),
+      regexp_count(col("t"), lit(TextAnalysis.PreTokenRe))
+        .cast("long").as("n_bpe_approx"),
       regexp_count(col("t"), lit(TextAnalysis.EmailRe)).cast("long").as("n_emails"),
       regexp_count(col("t1"), lit(TextAnalysis.Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col("t2"), lit(TextAnalysis.LongDigitRe)).cast("long").as("n_digit_runs"),

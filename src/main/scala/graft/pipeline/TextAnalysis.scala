@@ -65,15 +65,91 @@ object TextAnalysis {
           greatest(length(col("t")), lit(1))).as("nonalnum_ratio"))
   }
 
-  /** Token counting two ways: pinned whitespace tokens and a BPE-ish
-    * pre-tokenization (letter runs / digit runs / single other symbol —
-    * the GPT-2-style split approximation). */
+  /** GPT-2-style pre-tokenization split: letter runs / digit runs / single
+    * other symbol. The unit BPE merges operate within. */
+  val PreTokenRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Token counting two ways: pinned whitespace tokens and the pre-token
+    * count (an upper bound on the true BPE count — every merge only
+    * shrinks; kept as the cheap approximation column). The REAL
+    * merges-table count is [[bpeTokenCounts]]. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(
       col("doc_id"),
       size(Analyzer.tokens(col(textCol))).cast("long").as("n_ws_tokens"),
-      regexp_count(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
-        .cast("long").as("n_bpe_tokens"))
+      regexp_count(col(textCol), lit(PreTokenRe))
+        .cast("long").as("n_bpe_approx"))
+
+  /** Pinned synthetic BPE merges table, rank order = list order. It is
+    * WELL-FORMED: every component is a base character or the product of an
+    * EARLIER merge — the property that makes one rank-ordered application
+    * pass equal the classic iterative lowest-rank-first BPE (a merge can
+    * only create adjacencies involving its own product, and any merge
+    * consuming that product must rank later). [[validateMerges]] enforces
+    * it; a user-supplied table (e.g. GPT-2's learned merges, which are
+    * well-formed by construction of BPE training) goes through the same
+    * check. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "i" -> "n", "a" -> "n", "e" -> "r", "o" -> "n", "r" -> "e",
+    "a" -> "t", "s" -> "t", "e" -> "n", "o" -> "r", "a" -> "l", "d" -> "e",
+    "th" -> "e", "an" -> "d", "in" -> "g", "er" -> "s", "o" -> "u",
+    "e" -> "s", "o" -> "f", "i" -> "s", "c" -> "on", "st" -> "r",
+    "the" -> "n", "at" -> "e", "or" -> "t", "en" -> "t",
+    "0" -> "0", "1" -> "9")
+
+  /** Fails loudly on a merges table that is not well-formed (see
+    * [[BpeMerges]]): an out-of-order component would silently make the
+    * rank-ordered pass diverge from real BPE. */
+  def validateMerges(merges: Seq[(String, String)]): Unit = {
+    val products = scala.collection.mutable.Set.empty[String]
+    val pairs = scala.collection.mutable.Set.empty[(String, String)]
+    merges.foreach { case (a, b) =>
+      Seq(a, b).foreach { c =>
+        require(c.nonEmpty && !c.exists(_.isWhitespace) &&
+          (c.codePointCount(0, c.length) == 1 || products.contains(c)),
+          s"merge component '$c' is neither a base character nor the product " +
+            "of an earlier merge — the table is not in learnable (rank) order")
+      }
+      require(pairs.add((a, b)), s"duplicate merge ($a, $b)")
+      require(products.add(a + b),
+        s"two merges produce '${a + b}' — ranks would be ambiguous")
+    }
+  }
+
+  /** BPE symbol count of one pre-token as a Column, applying `merges` in
+    * rank order. Encoding trick: the symbol sequence is a string with every
+    * symbol wrapped in its OWN leading+trailing space (" a  b  c "), so
+    * merging pair (a, b) is a literal replace of " a  b " with " ab " —
+    * occurrences never share boundary characters, which makes the engine's
+    * non-overlapping left-to-right replace merge exactly the occurrences
+    * real BPE merges (including runs like "aaaa" for a self-pair). Count =
+    * spaces / 2. Pure codegen'd string ops with an exact DuckDB twin. */
+  private[pipeline] def bpeSymbolCount(token: Column,
+                                       merges: Seq[(String, String)]): Column = {
+    val spaced = regexp_replace(token, "(.)", " $1 ")
+    val merged = merges.foldLeft(spaced) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    ((length(merged) - length(replace(merged, lit(" "), lit("")))) / 2).cast("long")
+  }
+
+  /** REAL merges-table BPE token counting — what a training pipeline
+    * actually reports per document: pre-tokenize ([[PreTokenRe]]), apply
+    * the merges within each pre-token, sum the resulting symbol counts.
+    * The merges ride into the plan as literals (broadcast with the
+    * serialized plan, like the reference query constants); per-row work is
+    * a fixed chain of string replaces inside whole-stage codegen — no UDF,
+    * no shuffle. Output: (doc_id, n_pretokens, n_bpe_tokens). */
+  def bpeTokenCounts(docs: DataFrame, textCol: String = "text",
+                     merges: Seq[(String, String)] = BpeMerges): DataFrame = {
+    validateMerges(merges)
+    val pre = regexp_extract_all(col(textCol), lit(PreTokenRe), lit(0))
+    docs.select(
+      col("doc_id"),
+      size(pre).cast("long").as("n_pretokens"),
+      aggregate(transform(pre, t => bpeSymbolCount(t, merges)),
+        lit(0L), (acc, v) => acc + v).as("n_bpe_tokens"))
+  }
 
   /** PII patterns: kept to constructs with identical semantics in Java
     * regex (Spark codegen) and RE2 (DuckDB oracle) — no backrefs, no
