@@ -103,24 +103,35 @@ object PipelineQueries {
        |)""".stripMargin
 
   /** Shared CTE chain: tokenize → capped shingles (DefaultMaxShingleDf, so
-    * the oracle stays a true twin on ANY corpus) → pairwise Jaccard ≥ minJ
-    * as relation `p(id_a, id_b, jaccard)`. */
+    * the oracle stays a true twin on ANY corpus; cap <= 0 skips the filter
+    * — the uncapped per-doc semantics of the persisted signature index) →
+    * pairwise Jaccard ≥ minJ as relation `p$sfx(id_a, id_b, jaccard)`.
+    * `sfx` suffixes EVERY CTE name: two of these blocks nested in one
+    * statement (the two-phase incremental-sweep oracle) must not share
+    * names — DuckDB resolves colliding nested recursive CTE names across
+    * scopes and silently computes the wrong closure (observed: phase-2
+    * victims absorbing phase-1's). */
   private def jaccardCtes(docs: String, minJ: Double,
-                          maxShingleDf: Long = Dedup.DefaultMaxShingleDf): String =
-    s"""docs AS ($docs),
-       |t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts FROM docs),
-       |idx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
-       |        FROM t WHERE len(ts) >= 3),
-       |sh0 AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM idx),
-       |sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (
-       |         SELECT s FROM sh0 GROUP BY s HAVING count(*) > $maxShingleDf)),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                          maxShingleDf: Long = Dedup.DefaultMaxShingleDf,
+                          sfx: String = ""): String = {
+    val shCte =
+      if (maxShingleDf <= 0) s"sh$sfx AS (SELECT doc_id, s FROM sh0$sfx)"
+      else s"""sh$sfx AS (SELECT doc_id, s FROM sh0$sfx WHERE s NOT IN (
+              |         SELECT s FROM sh0$sfx GROUP BY s HAVING count(*) > $maxShingleDf))""".stripMargin
+    s"""docs$sfx AS ($docs),
+       |t$sfx AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts FROM docs$sfx),
+       |idx$sfx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+       |        FROM t$sfx WHERE len(ts) >= 3),
+       |sh0$sfx AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM idx$sfx),
+       |$shCte,
+       |sz$sfx AS (SELECT doc_id, count(*) AS n FROM sh$sfx GROUP BY doc_id),
+       |inter$sfx AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |          FROM sh$sfx a JOIN sh$sfx b ON a.s = b.s AND a.doc_id < b.doc_id
        |          GROUP BY a.doc_id, b.doc_id),
-       |p AS (SELECT id_a, id_b, c * 1.0 / (x.n + y.n - c) AS jaccard
-       |      FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+       |p$sfx AS (SELECT id_a, id_b, c * 1.0 / (x.n + y.n - c) AS jaccard
+       |      FROM inter$sfx JOIN sz$sfx x ON id_a = x.doc_id JOIN sz$sfx y ON id_b = y.doc_id
        |      WHERE c * 1.0 / (x.n + y.n - c) >= $minJ)""".stripMargin
+  }
 
   /** SQL twin of Dedup.ngramJaccardPairs. */
   private def jaccardSql(docs: String, minJ: Double): String =
@@ -203,11 +214,7 @@ object PipelineQueries {
     // TrieMap.getOrElseUpdate may evaluate a racing thunk twice; this build
     // is expensive (index build + full sweep), so serialize first builds
     sweepCache.get(dir).getOrElse(sweepLock.synchronized(sweepCache.getOrElseUpdate(dir, {
-      import s.implicits._
-      val corpus = nearDupDocs(s, dir).select(col("doc_id"),
-          lit("r").as("repo"), concat(lit("doc/"), col("doc_id")).as("path"),
-          lit("c").as("commit"), lit("en").as("lang"), col("text").as("content"))
-        .as[graft.core.CorpusDoc]
+      val corpus = toCorpus(s, nearDupDocs(s, dir))
       val store = new graft.index.IndexStore(s,
         java.nio.file.Files.createTempDirectory("graft-sweep").toString,
         graft.core.IndexConfig(shardSpan = 256, fields = Seq("content")))
@@ -216,19 +223,89 @@ object PipelineQueries {
       store
     })))
 
-  /** SQL twin of the post-sweep live corpus: every doc except the non-keeper
-    * members of each connected Jaccard-≥-minJ component. */
-  private def sweepSql(docs: String, minJ: Double): String =
-    s"""WITH RECURSIVE ${jaccardCtes(docs, minJ)},
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-       |          UNION SELECT id_b, id_a FROM p),
-       |reach AS (SELECT DISTINCT src AS id, src AS root FROM edges
+  /** SQL block computing the post-sweep SURVIVORS of `docs`: every doc
+    * except the non-keeper members of each connected Jaccard-≥-minJ
+    * component. `selectCols` picks the survivor columns, so the block can
+    * terminate a query ("doc_id") or feed a later phase ("doc_id, text"). */
+  private def survivorsSelect(docs: String, minJ: Double, maxShingleDf: Long,
+                              selectCols: String, sfx: String = ""): String =
+    s"""WITH RECURSIVE ${jaccardCtes(docs, minJ, maxShingleDf, sfx)},
+       |edges$sfx AS (SELECT id_a AS src, id_b AS dst FROM p$sfx
+       |          UNION SELECT id_b, id_a FROM p$sfx),
+       |reach$sfx AS (SELECT DISTINCT src AS id, src AS root FROM edges$sfx
        |          UNION
-       |          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
-       |victims AS (SELECT id FROM (SELECT id, min(root) AS keep FROM reach GROUP BY id)
+       |          SELECT e.dst, r.root FROM reach$sfx r JOIN edges$sfx e ON e.src = r.id),
+       |victims$sfx AS (SELECT id FROM (SELECT id, min(root) AS keep FROM reach$sfx GROUP BY id)
        |            WHERE id <> keep)
-       |SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT id FROM victims)
+       |SELECT $selectCols FROM docs$sfx WHERE doc_id NOT IN (SELECT id FROM victims$sfx)""".stripMargin
+
+  /** SQL twin of the post-sweep live corpus. */
+  private def sweepSql(docs: String, minJ: Double): String =
+    s"""${survivorsSelect(docs, minJ, Dedup.DefaultMaxShingleDf, "doc_id")}
        |ORDER BY doc_id""".stripMargin
+
+  /** SQL twin of the TWO-PHASE incremental sweep: survivors of corpus 1
+    * (docs ∪ dup1), unioned with the second dup wave, swept again —
+    * nested WITH RECURSIVE blocks (phase-suffixed CTE names, see
+    * [[jaccardCtes]]), phase 2 reading phase 1's survivors. Cap 0 in both
+    * phases: the persisted signature index uses uncapped per-doc shingle
+    * semantics. */
+  private def sweepIncrementalSql(minJ: Double): String =
+    s"""WITH live1 AS (
+       |${survivorsSelect(nearDupSql, minJ, 0, "doc_id, text", sfx = "_p1")}
+       |),
+       |corpus2 AS (SELECT doc_id, text FROM live1
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id, text || ' graftdup2 graftdup2' AS text
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |live2 AS (
+       |${survivorsSelect("SELECT doc_id, text FROM corpus2", minJ, 0, "doc_id", sfx = "_p2")}
+       |)
+       |SELECT doc_id FROM live2 ORDER BY doc_id""".stripMargin
+
+  /** One PERSISTED IVF index per sf dir (built once into a temp dir, then
+    * re-opened from disk): the recall gate exercises the stored quantizer
+    * + cell tables, not a per-call k-means fit. */
+  private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
+  private val ivfLock = new Object
+  private def ivfIndexFor(s: SparkSession, dir: String): IvfIndex =
+    ivfCache.get(dir).getOrElse(ivfLock.synchronized(ivfCache.getOrElseUpdate(dir,
+      IvfIndex.build(Corpus.embeddings(s, dir),
+        java.nio.file.Files.createTempDirectory("graft-ivf").toString,
+        nLists = 16, seed = 42L))))
+
+  /** Documents-shaped frame → CorpusDoc columns (content = text). */
+  private def toCorpus(s: SparkSession, df: DataFrame) = {
+    import s.implicits._
+    df.select(col("doc_id"), lit("r").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("c").as("commit"), lit("en").as("lang"), col("text").as("content"))
+      .as[graft.core.CorpusDoc]
+  }
+
+  /** One TWO-PHASE incrementally-swept store per sf dir: build from the
+    * near-dup corpus, persisted sweep (signatures the lot, removes dup1),
+    * `add()` a second dup wave, persisted sweep again — the second sweep
+    * signatures ONLY the added segment and pairs it against the live
+    * corpus through the stored signature table. */
+  private val sweepIncCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.index.IndexStore]
+  private val sweepIncLock = new Object
+  private def sweptIncStore(s: SparkSession, dir: String): graft.index.IndexStore =
+    sweepIncCache.get(dir).getOrElse(sweepIncLock.synchronized(
+      sweepIncCache.getOrElseUpdate(dir, {
+        val store = new graft.index.IndexStore(s,
+          java.nio.file.Files.createTempDirectory("graft-sweepinc").toString,
+          graft.core.IndexConfig(shardSpan = 256, fields = Seq("content")))
+        store.createSegment(toCorpus(s, nearDupDocs(s, dir)))
+        Dedup.sweepIndexPersisted(store, minJaccard = 0.5)
+        val dup2 = Corpus.documents(s, dir).filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" graftdup2 graftdup2")).as("text"))
+        store.add(toCorpus(s, dup2))
+        Dedup.sweepIndexPersisted(store, minJaccard = 0.5)
+        store
+      })))
 
   /** Driver-visible recall gate for an approximate ANN operator: runs the
     * ANN plan AND the exact brute-force plan over the same 8 query vectors
@@ -237,14 +314,14 @@ object PipelineQueries {
     * The oracle is the constant expected row — trivially expressible, and
     * red the moment a recall regression lands. */
   private def annRecallQuery(name: String,
-      ann: (DataFrame, DataFrame) => DataFrame): QueryDef =
+      ann: (SparkSession, String, DataFrame, DataFrame) => DataFrame): QueryDef =
     QueryDef(name,
       (s, dir) => {
         val emb = Corpus.embeddings(s, dir)
         val q = emb.filter(col("vec_id") < 8)
         val exact = Similarity.bruteForceTopK(q, emb, k = 5)
           .select(col("qid"), col("vec_id"))
-        val approx = ann(emb, q)
+        val approx = ann(s, dir, emb, q)
           .select(col("qid"), col("vec_id"), lit(1).as("hit"))
         // one pass over the brute-force subplan: left join + counting
         // non-null hits (the (qid, vec_id) pairs are unique on both sides)
@@ -344,6 +421,15 @@ object PipelineQueries {
         .select(col("doc_id")).orderBy("doc_id"),
       Some(sweepSql(nearDupSql, 0.5))),
 
+    // incremental sweep over the PERSISTED signature index: after the
+    // two-phase build (sweep, add second dup wave, sweep again — phase 2
+    // signatures only the new segment), the live corpus must equal the
+    // oracle's two chained recursive-CTE sweeps
+    QueryDef("q_dedup_sweep_incremental",
+      (s, dir) => sweptIncStore(s, dir).liveCorpus()
+        .select(col("doc_id")).orderBy("doc_id"),
+      Some(sweepIncrementalSql(0.5))),
+
     QueryDef("q_dedup_embedding",
       (s, dir) => Similarity.embeddingDupPairs(dupEmbeddings(s, dir),
           tau = 0.95, exact = true)
@@ -381,11 +467,13 @@ object PipelineQueries {
     // asserted in PipelineSpec.
     // nProbe=8 of 16 cells: measured recall@5 = 0.825/0.90/0.925 at
     // sf0.001/0.01/0.1 (graft.tools.RecallProbe) — ≥ 0.8 with margin at the
-    // gated sfs; nProbe=4 sat at 0.62-0.67 and failed the gate honestly
-    annRecallQuery("q_ann_ivf_recall", (emb, q) =>
-      Similarity.ivfTopK(q, emb, k = 5, nLists = 16, nProbe = 8)),
+    // gated sfs; nProbe=4 sat at 0.62-0.67 and failed the gate honestly.
+    // The gate runs against the PERSISTED quantizer + cell tables
+    // (IvfIndex.build → open), same k-means params as the probe measured.
+    annRecallQuery("q_ann_ivf_recall", (s, dir, _, q) =>
+      ivfIndexFor(s, dir).topK(q, k = 5, nProbe = 8)),
 
-    annRecallQuery("q_ann_lsh_recall", (emb, q) =>
+    annRecallQuery("q_ann_lsh_recall", (_, _, emb, q) =>
       Similarity.lshTopK(q, emb, k = 5, nBits = 16, bands = 8)),
 
     QueryDef("q_lang_id",

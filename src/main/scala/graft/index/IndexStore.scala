@@ -314,6 +314,12 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
 
   // ---------- readers ----------
 
+  /** Path of one segment's stage directory — for sibling maintenance
+    * layers (e.g. [[SimilarityIndex]]) that add their own per-segment
+    * tables next to the core stages. */
+  private[index] def segPath(segId: Int, sub: String): String =
+    p(s"seg-$segId", sub).toString
+
   private def segPaths(sub: String): Seq[String] =
     segments.map(s => p(s"seg-${s.id}", sub).toString)
 

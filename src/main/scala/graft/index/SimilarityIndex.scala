@@ -1,0 +1,129 @@
+package graft.index
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PERSISTED MinHash signature index riding the [[IndexStore]] segment
+  * layout — maintained like postings, so dedup maintenance stops
+  * re-signaturing the whole corpus per run:
+  *
+  * {{{
+  * base/
+  *   similarity.json              — pinned signature params + sweep watermark
+  *   seg-<i>/minhash/             — (doc_id, sig: array<long>[numHashes]),
+  *   seg-<i>/_checkpoints/minhash.json   one table per segment, written once
+  * }}}
+  *
+  * Signatures are PURE PER-DOC functions (uncapped shingles → seeded
+  * affine min-hashes), which is what makes them incrementally maintainable:
+  * a new segment's signatures depend only on its own rows. [[ensure]]
+  * computes exactly the missing segments' tables (through the store's
+  * checkpointed stage machinery — same markers, lineage and per-partition
+  * metrics as the core build stages); deletes need nothing (reads are
+  * tombstone-filtered like [[IndexStore.liveCorpus]]); a merge/compact drops
+  * the old segment dirs and the next `ensure` signatures only the merged
+  * output. The params are pinned in `similarity.json` — mixing signatures
+  * computed under different (numHashes, seed, k, field) would silently
+  * break every Jaccard estimate, so a mismatch fails loudly.
+  *
+  * `similarity.json` also records the sweep WATERMARK (segment ids covered
+  * by the last completed non-dry [[graft.pipeline.Dedup.sweepIndexPersisted]]):
+  * an incremental sweep generates candidate pairs only for documents of
+  * segments PAST the watermark (new docs vs the whole live corpus, via the
+  * banded signature join) — pairs wholly inside the watermark were already
+  * resolved by the sweep that set it. */
+class SimilarityIndex(val store: IndexStore, val textField: String = "content",
+                      val numHashes: Int = 64, val seed: Long = 42L,
+                      val shingleK: Int = 3) {
+  private val spark: SparkSession = store.spark
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def metaPath = new Path(s"${store.baseDir}/similarity.json")
+  private def fs = metaPath.getFileSystem(hconf)
+
+  private def readMeta(): Option[(String, Int, Long, Int, Set[Int])] = {
+    if (!fs.exists(metaPath)) return None
+    val in = fs.open(metaPath)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val n = new ObjectMapper().readTree(txt)
+    val swept = Option(n.get("sweptSegs")).map(a =>
+      (0 until a.size()).map(i => a.get(i).asInt()).toSet).getOrElse(Set.empty)
+    Some((n.get("textField").asText(), n.get("numHashes").asInt(),
+      n.get("seed").asLong(), n.get("shingleK").asInt(), swept))
+  }
+
+  private def writeMeta(swept: Set[Int]): Unit = {
+    val json =
+      s"""{"textField":"$textField","numHashes":$numHashes,"seed":$seed,""" +
+      s""""shingleK":$shingleK,"sweptSegs":${swept.toSeq.sorted.mkString("[", ",", "]")}}"""
+    val out = fs.create(metaPath, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Computes signature tables for every committed segment lacking one;
+    * returns the segment ids that were signatured by THIS call. Existing
+    * tables are never touched (stage markers) — the incremental contract. */
+  def ensure(): Seq[Int] = {
+    readMeta() match {
+      case Some((tf, nh, sd, k, _)) =>
+        require(tf == textField && nh == numHashes && sd == seed && k == shingleK,
+          s"similarity index at ${store.baseDir} was built with " +
+            s"(field=$tf, hashes=$nh, seed=$sd, k=$k); refusing to mix " +
+            s"signatures with (field=$textField, hashes=$numHashes, " +
+            s"seed=$seed, k=$shingleK) — re-derive under one parameter set")
+      case None => writeMeta(Set.empty)
+    }
+    val missing = store.segments.filterNot(s => store.stageDone(s.id, "minhash"))
+    missing.foreach { seg =>
+      store.runStage(seg.id, "minhash", Seq(s"seg-${seg.id}/corpus"), resume = true) {
+        val corpus = spark.read.parquet(store.segPath(seg.id, "corpus"))
+          .select(col("doc_id"), col(textField).as("text"))
+        graft.pipeline.Dedup.minHashSignatures(
+          graft.pipeline.Dedup.shingles(corpus, k = shingleK, maxShingleDf = 0),
+          numHashes, seed)
+      }
+    }
+    missing.map(_.id)
+  }
+
+  private val sigSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sig", ArrayType(LongType))))
+
+  /** All committed segments' signatures with a `seg` provenance column
+    * (explicit schema: no inference job per segment). Call [[ensure]]
+    * first; a segment without its table fails loudly here. */
+  def signatures(): DataFrame =
+    store.segments.map { s =>
+      spark.read.schema(sigSchema).parquet(store.segPath(s.id, "minhash"))
+        .withColumn("seg", lit(s.id))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        sigSchema.add(StructField("seg", IntegerType))))
+
+  /** Signatures of LIVE documents only — the same tombstone anti-join
+    * semantics as [[IndexStore.liveCorpus]] (a doc deleted at or after its
+    * segment's generation is filtered). */
+  def liveSignatures(): DataFrame = {
+    val sigs = signatures()
+    if (store.tombstoneCount() == 0L) return sigs
+    val ts = store.tombstoneAgg()
+    sigs.join(ts, sigs("doc_id") === ts("t_doc_id") &&
+        sigs("seg") <= ts("t_max_seg"), "left_anti")
+  }
+
+  /** Committed segments past the sweep watermark — the docs an incremental
+    * sweep must pair against the whole live corpus. */
+  def unsweptSegs(): Seq[Int] = {
+    val swept = readMeta().map(_._5).getOrElse(Set.empty[Int])
+    store.segments.map(_.id).filterNot(swept)
+  }
+
+  /** Advances the sweep watermark to every currently committed segment.
+    * Called by the sweep AFTER its deletes land; a dry run never advances
+    * (its findings were not applied, so the segments are still unswept). */
+  def markSwept(): Unit = writeMeta(store.segments.map(_.id).toSet)
+}

@@ -257,12 +257,15 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** LSH banding: (doc_id, band, key) — docs sharing a (band, key) bucket
-    * are near-dup candidates. bands·rowsPerBand must equal signature size. */
-  def lshBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
-    sigs.select(col("doc_id"), posexplode(
+  /** LSH banding: (doc_id[, keepCols...], band, key) — docs sharing a
+    * (band, key) bucket are near-dup candidates. bands·rowsPerBand must
+    * equal signature size; `keepCols` ride through (e.g. segment
+    * provenance for the incremental sweep). */
+  def lshBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                 keepCols: Seq[String] = Nil): DataFrame =
+    sigs.select(col("doc_id") +: keepCols.map(col) :+ posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(slice(col("sig"), bnd * rowsPerBand + lit(1), lit(rowsPerBand))))))
+        bnd => xxhash64(slice(col("sig"), bnd * rowsPerBand + lit(1), lit(rowsPerBand))))): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
 
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard.
@@ -387,6 +390,64 @@ object Dedup {
     val docs = store.liveCorpus().select(col("doc_id"), col(textField))
     val pairs = minHashLshPairs(docs, textCol = textField, minJaccard = minJaccard)
     applySweep(store, pairs, dryRun, checkpointDir)
+  }
+
+  /** Incremental near-dup sweep over the PERSISTED signature index
+    * ([[graft.index.SimilarityIndex]]): signatures exist per segment and
+    * are computed exactly once, so a sweep after an `add()` signatures
+    * ONLY the new segment and generates candidates as (new docs) × (live
+    * corpus) through the banded signature join — never re-reading, let
+    * alone re-signaturing, the already-swept corpus. Candidate pairs are
+    * verified with exact Jaccard restricted to candidate docs (uncapped
+    * shingles — the same pure per-doc semantics the signatures use), then
+    * clustered and bulk-deleted like [[sweepIndex]].
+    *
+    * Equals a full sweep whenever previous sweeps ran at the same
+    * (minJaccard, textField): the watermarked corpus is internally
+    * dup-free, so every surviving duplicate pair involves a new doc. The
+    * FIRST call (empty watermark) IS the full sweep. Returns the number of
+    * docs swept; `dryRun` counts without deleting and leaves the watermark
+    * untouched. */
+  def sweepIndexPersisted(store: graft.index.IndexStore,
+                          minJaccard: Double = 0.9,
+                          textField: String = "content",
+                          dryRun: Boolean = false,
+                          checkpointDir: Option[String] = None,
+                          numHashes: Int = 64, bands: Int = 16): Long = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sim = new graft.index.SimilarityIndex(store, textField, numHashes)
+    sim.ensure()
+    val freshIds = sim.unsweptSegs()
+    if (freshIds.isEmpty) return 0L
+    val buckets = lshBuckets(sim.liveSignatures(), bands, numHashes / bands,
+      keepCols = Seq("seg"))
+    val fresh = buckets.filter(col("seg").isInCollection(freshIds))
+      .select(col("band"), col("key"), col("doc_id").as("id_x"))
+    val all = buckets.select(col("band"), col("key"), col("doc_id").as("id_y"))
+    val cand = fresh.join(all, Seq("band", "key"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    // exact-Jaccard verification over candidate docs only: semi-join the
+    // live corpus BEFORE tokenizing, so the verify pass reads candidate
+    // rows, not the whole store
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+    val candDocs = store.liveCorpus().select(col("doc_id"), col(textField).as("text"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val sets = shingles(candDocs, maxShingleDf = 0)
+      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("set"))
+    val pairs = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    val n = applySweep(store, pairs, dryRun, checkpointDir)
+    if (!dryRun) sim.markSwept()
+    n
   }
 
   /** Shared tail of the sweep pipelines: pairs → connected components →

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED IVF (inverted-file) ANN index over an embedding table — the
+  * similarity analogue of the posting store: the quantizer is trained ONCE
+  * and written down, and queries/maintenance load it instead of re-fitting
+  * k-means per call (the reference persists its one index kind and never
+  * rebuilds it per query, `indexing.go:575-602`; an ANN surface at 10^9
+  * vectors deserves the same).
+  *
+  * Layout:
+  * {{{
+  * dir/centroids.json   — quantizer: nLists × dim doubles + seed (small)
+  * dir/assignments/     — (vec_id, cv: array<double>) parquet,
+  *   cell=<i>/            partitioned BY CELL: a query's nProbe cells map
+  *                        to nProbe directories, so the scan physically
+  *                        prunes to ~nProbe/nLists of the corpus
+  * }}}
+  *
+  * Incremental `add` assigns new vectors to their nearest EXISTING
+  * centroid with pure Column arithmetic (classic IVF maintenance — the
+  * quantizer is frozen; cells drift only on an explicit re-`build`), so
+  * growing the corpus never re-reads or re-clusters the existing
+  * assignments. */
+class IvfIndex private (val spark: SparkSession, val dir: String,
+                        val centroids: Array[Array[Double]]) {
+
+  def assignments: DataFrame = spark.read.parquet(s"$dir/assignments")
+
+  /** Append new vectors `(vec_id, embedding)`, quantized against the
+    * persisted centroids — touches only the new rows. */
+  def add(vectors: DataFrame): Unit =
+    IvfIndex.assign(vectors, centroids)
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$dir/assignments")
+
+  /** Top-k cosine neighbors from the persisted cells. When every query's
+    * probe set is known small (the broadcast-guard bound), the probed cell
+    * ids are collected (nQ × nProbe ints — trivially driver-safe at the
+    * same bound that allows the broadcast) and pushed as a partition
+    * filter, so the scan reads ONLY the probed cell directories.
+    * Output: (qid, vec_id, cos, rank ≤ k). */
+  def topK(queries: DataFrame, k: Int, nProbe: Int = 8,
+           excludeSelf: Boolean = true,
+           maxBroadcastQueries: Long = Similarity.DefaultMaxBroadcastQueries): DataFrame = {
+    val small = queries.limit((maxBroadcastQueries + 1).toInt).count() <= maxBroadcastQueries
+    val assigned =
+      if (!small) assignments
+      else {
+        val cells = Similarity.probeCells(queries, centroids, nProbe)
+          .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+        assignments.filter(col("cell").isInCollection(cells))
+      }
+    Similarity.ivfScore(queries, assigned, centroids, k, nProbe,
+      excludeSelf, maxBroadcastQueries)
+  }
+}
+
+object IvfIndex {
+
+  /** Nearest-centroid assignment as a pure Column plan (no MLlib at
+    * query/maintenance time): argmin over the literal centroid set.
+    * Output: (vec_id, cv, cell). */
+  private[pipeline] def assign(vectors: DataFrame,
+                               centroids: Array[Array[Double]]): DataFrame = {
+    val v = vectors.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(col("cv"), array(c.map(lit(_)): _*),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("d"),
+        lit(i).as("cell"))
+    }
+    v.withColumn("cell", array_sort(array(probes: _*)).getItem(0).getField("cell"))
+  }
+
+  /** Trains the quantizer on `corpus(vec_id, embedding)` (seeded MLlib
+    * k-means; `nLists <= 0` → √n), persists centroids + cell-partitioned
+    * assignments under `dir`, and returns the index RE-OPENED from disk —
+    * everything the returned instance serves comes from the persisted
+    * state, never from this JVM's fit. */
+  def build(corpus: DataFrame, dir: String, nLists: Int = 0,
+            seed: Long = 42L): IvfIndex = {
+    val spark = corpus.sparkSession
+    val (centroids, assigned) = Similarity.fitQuantizer(corpus, nLists, seed)
+    assigned.repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/assignments")
+    val json = new ObjectMapper().createObjectNode()
+    json.put("seed", seed)
+    json.put("dim", centroids.head.length)
+    val arr = json.putArray("centroids")
+    centroids.foreach { c =>
+      val row = arr.addArray(); c.foreach(row.add)
+    }
+    val p = new Path(s"$dir/centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.toString.getBytes("UTF-8")) finally out.close()
+    open(spark, dir)
+  }
+
+  /** Opens a persisted index: loads the quantizer from centroids.json. */
+  def open(spark: SparkSession, dir: String): IvfIndex = {
+    val p = new Path(s"$dir/centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new ObjectMapper().readTree(txt).get("centroids")
+    val centroids = (0 until node.size()).map { i =>
+      val row = node.get(i)
+      (0 until row.size()).map(j => row.get(j).asDouble()).toArray
+    }.toArray
+    new IvfIndex(spark, dir, centroids)
+  }
+}

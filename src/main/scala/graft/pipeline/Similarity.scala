@@ -30,9 +30,10 @@ object Similarity {
     * window row_number (partial top-k per partition under AQE).
     * Output: (qid, vec_id, cos, rank). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     excludeSelf: Boolean = true): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("qid"),
-      asDouble(col("embedding")).as("qv")))
+                     excludeSelf: Boolean = true,
+                     maxBroadcastQueries: Long = DefaultMaxBroadcastQueries): DataFrame = {
+    val q = maybeBroadcast(queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv")), queries, maxBroadcastQueries)
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
     val scored = c.join(q,
         if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
@@ -63,7 +64,8 @@ object Similarity {
     * Output: (qid, vec_id, cos, rank ≤ k). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 16, bands: Int = 4, dim: Int = 64,
-              seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
+              seed: Long = 42L, excludeSelf: Boolean = true,
+              maxBroadcastQueries: Long = DefaultMaxBroadcastQueries): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val planes = hyperplanes(nBits, dim, seed)
     val bits = nBits / bands
@@ -79,7 +81,8 @@ object Similarity {
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     }
 
-    val qb = broadcast(withBuckets(queries, "qid", "qv"))
+    val qb = maybeBroadcast(withBuckets(queries, "qid", "qv"),
+      queries, maxBroadcastQueries)
     val cb = withBuckets(corpus, "vec_id", "cv")
     val cand = cb.join(qb, Seq("band", "bkey"))
       .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
@@ -92,46 +95,89 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer (MLlib KMeans,
-    * seeded) partitions the corpus into nLists cells; a query scores only
-    * the vectors of its nProbe nearest cells. The classic
-    * recall/throughput-tunable scale path: the candidate join is keyed on
-    * cell id, touching ~nProbe/nLists of the corpus per query.
-    * Output: (qid, vec_id, cos, rank ≤ k). */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    val withVec = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("features", array_to_vector(col("emb")))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(withVec)
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("emb").as("cv"), col("prediction").as("cell"))
-    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+  /** Query-vector count above which the probe side of an IVF/LSH join is
+    * no longer broadcast: a probe row carries the full query vector, so an
+    * unbounded `broadcast()` hint on a 10^7-query batch would OOM every
+    * executor. Past the bound the join runs shuffled (the planner's
+    * choice), which is exactly right for batch-ANN jobs where the query
+    * side is itself corpus-sized. 10^4 queries × nProbe × ~0.5 KB/row stays
+    * in the tens of MB. */
+  val DefaultMaxBroadcastQueries: Long = 10000L
 
-    // per query: nProbe nearest centroids via Column arithmetic over the
-    // (tiny, literal) centroid set — no driver round-trip per query
+  /** Broadcast `df` only when `queries` provably holds at most `bound`
+    * rows — counted with a `limit(bound+1)` scan, so the guard never pays
+    * a full count of a huge query table. */
+  private def maybeBroadcast(df: DataFrame, queries: DataFrame, bound: Long): DataFrame =
+    if (queries.limit((bound + 1).toInt).count() <= bound) broadcast(df) else df
+
+  /** nLists ≈ √n — the standard IVF sizing (cells and per-cell scan cost
+    * balance at the square root). */
+  def defaultNLists(n: Long): Int =
+    math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** Per-query nProbe nearest centroids via Column arithmetic over the
+    * (tiny, literal) centroid set — no driver round-trip per query.
+    * Output: (qid, qv, cell), one row per (query, probed cell). */
+  private[pipeline] def probeCells(queries: DataFrame,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
     def l2(q: Column, cent: Array[Double]): Column =
       aggregate(zip_with(q, array(cent.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, v) => acc + v)
     val distCells = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(l2(col("qv"), c).as("d"), lit(i).as("cell"))
     }: _*)
-    val probes = broadcast(
-      queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-        .withColumn("probe", explode(slice(array_sort(distCells), 1, nProbe)))
-        .select(col("qid"), col("qv"), col("probe.cell").as("cell")))
+    queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("probe", explode(slice(array_sort(distCells), 1, nProbe)))
+      .select(col("qid"), col("qv"), col("probe.cell").as("cell"))
+  }
 
+  /** Scoring tail shared by the ad-hoc [[ivfTopK]] and the persisted
+    * [[IvfIndex]]: join probes to cell assignments `(vec_id, cv, cell)`,
+    * cosine, per-query top-k. */
+  private[pipeline] def ivfScore(queries: DataFrame, assigned: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nProbe: Int,
+      excludeSelf: Boolean, maxBroadcastQueries: Long): DataFrame = {
+    val probes = maybeBroadcast(probeCells(queries, centroids, nProbe),
+      queries, maxBroadcastQueries)
     val scored = assigned.join(probes, Seq("cell"))
       .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .select(col("qid"), col("vec_id"), cosine(col("qv"), col("cv")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
-    val _ = spark
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) ANN: k-means coarse quantizer (MLlib KMeans,
+    * seeded) partitions the corpus into nLists cells; a query scores only
+    * the vectors of its nProbe nearest cells. The classic
+    * recall/throughput-tunable scale path: the candidate join is keyed on
+    * cell id, touching ~nProbe/nLists of the corpus per query.
+    * `nLists <= 0` derives the standard √n sizing. This variant re-fits
+    * the quantizer per call — for repeated querying or incremental
+    * corpora, persist it once with [[IvfIndex]] instead.
+    * Output: (qid, vec_id, cos, rank ≤ k). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nLists: Int = 0, nProbe: Int = 4,
+              seed: Long = 42L, excludeSelf: Boolean = true,
+              maxBroadcastQueries: Long = DefaultMaxBroadcastQueries): DataFrame = {
+    val (centroids, assigned) = fitQuantizer(corpus, nLists, seed)
+    ivfScore(queries, assigned, centroids, k, nProbe, excludeSelf, maxBroadcastQueries)
+  }
+
+  /** Trains the seeded k-means coarse quantizer and assigns every corpus
+    * vector to its cell. Returns (centroids, assignments(vec_id, cv, cell)). */
+  private[pipeline] def fitQuantizer(corpus: DataFrame, nLists: Int,
+      seed: Long): (Array[Array[Double]], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("features", array_to_vector(col("emb")))
+    val lists = if (nLists > 0) nLists else defaultNLists(withVec.count())
+    val model = new KMeans().setK(lists).setSeed(seed).setMaxIter(10)
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("emb").as("cv"), col("prediction").as("cell"))
+    (model.clusterCenters.map(_.toArray), assigned)
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ tau, bucketed

@@ -159,6 +159,98 @@ class PipelineSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"generated subdir not cleaned: ${leftovers.toSeq}")
   }
 
+  test("sweepIndexPersisted: incremental sweep signatures only new segments") {
+    import graft.core.{CorpusDoc, IndexConfig}
+    import graft.index.{IndexStore, SimilarityIndex}
+    val base = (0 until 10).map { i =>
+      CorpusDoc(i.toLong, "r", s"p/$i", "a" * 40, "en",
+        s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i")
+    }
+    val copies = Seq(3, 7).map(i => base(i).copy(doc_id = i + 100L, path = s"p/c$i"))
+    val store = new IndexStore(spark, TestSpark.tempDir("sweep-inc"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(spark.createDataset(base ++ copies))
+    // first persisted sweep == full sweep: copies removed, signatures stored
+    assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 2)
+    assert(store.liveCorpus().count() == 10)
+    // watermark: nothing new -> no candidate generation at all
+    assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 0)
+    val marker0 = java.nio.file.Paths.get(store.baseDir,
+      "seg-0", "_checkpoints", "minhash.json")
+    assert(java.nio.file.Files.exists(marker0))
+    val mtime0 = java.nio.file.Files.getLastModifiedTime(marker0)
+    // add a near-dup of doc 5 (victim: higher id) and a novel doc
+    val added = Seq(
+      base(5).copy(doc_id = 205L, path = "p/a5",
+        content = base(5).content + " tail"),
+      CorpusDoc(206L, "r", "p/n", "b" * 40, "en",
+        "omega kappa lambda mu nu xi omicron pi"))
+    store.add(spark.createDataset(added))
+    // dry run counts but advances NO watermark and deletes nothing
+    assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5, dryRun = true) == 1)
+    assert(store.liveCorpus().count() == 12)
+    // real incremental sweep: only the duplicate of doc 5 goes
+    assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 1)
+    val live = store.liveCorpus().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(live == ((0 until 10).map(_.toLong).toSet + 206L))
+    // seg-0's signature table was NOT recomputed by any later sweep
+    assert(java.nio.file.Files.getLastModifiedTime(marker0) == mtime0,
+      "incremental sweep re-signatured an already-covered segment")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(store.baseDir,
+      "seg-1", "_checkpoints", "minhash.json")))
+    // parameter pinning: a different signature config must fail loudly
+    val err = intercept[IllegalArgumentException] {
+      new SimilarityIndex(store, numHashes = 32).ensure()
+    }
+    assert(err.getMessage.contains("refusing to mix"))
+  }
+
+  test("IvfIndex: persisted quantizer == per-call fit; incremental add; param guards") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" < 4)
+    val dir = TestSpark.tempDir("ivf")
+    val idx = IvfIndex.build(emb, dir, nLists = 8, seed = 42L)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    // the persisted index (quantizer re-opened from disk, cell-partitioned
+    // assignment tables) answers exactly like the per-call fit at the same
+    // seed — bit-for-bit the same cells, candidates and ranks
+    assert(key(idx.topK(q, k = 5, nProbe = 4)) ==
+      key(Similarity.ivfTopK(q, emb, k = 5, nLists = 8, nProbe = 4)))
+    // incremental add: quantize ONLY the new vectors against the frozen
+    // centroids; an exact copy of vector 0 must surface as its top-1
+    idx.add(emb.filter($"vec_id" === 0)
+      .select(lit(100000L).as("vec_id"), $"embedding"))
+    val top1 = idx.topK(emb.filter($"vec_id" === 0), k = 1, nProbe = 4)
+      .collect().head
+    assert(top1.getLong(1) == 100000L && top1.getDouble(2) > 0.999999)
+    // nLists <= 0 derives the sqrt(n) default
+    assert(Similarity.defaultNLists(10000) == 100)
+  }
+
+  test("ANN broadcast guard: oversized query sets drop the broadcast hint, same answer") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" < 6)
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    val hinted = Similarity.ivfTopK(q, emb, k = 5, nLists = 8, nProbe = 4)
+    val guarded = Similarity.ivfTopK(q, emb, k = 5, nLists = 8, nProbe = 4,
+      maxBroadcastQueries = 2)
+    assert(hints(hinted).nonEmpty, "small query set should carry the broadcast hint")
+    assert(hints(guarded).isEmpty, "oversized query set must not force a broadcast")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(key(hinted) == key(guarded))
+    // brute force honors the same guard
+    assert(hints(Similarity.bruteForceTopK(q, emb, k = 3,
+      maxBroadcastQueries = 2)).isEmpty)
+    assert(hints(Similarity.lshTopK(q, emb, k = 3, maxBroadcastQueries = 2)).isEmpty)
+  }
+
   test("plan audit: no all-pairs join shape in any bucketed dedup/ANN plan") {
     // The 100 TB claim rests on every candidate join being keyed on a
     // bounded bucket. A Cartesian/broadcast-nested-loop join in the plan
