@@ -124,14 +124,16 @@ object Bench {
   }
 
   /** Pipeline-operator throughput at peak cores over the sf documents table:
-    * MinHash-LSH dedup and SimHash near-dup pairing (warm, one timed pass
-    * each — regressions in the dedup plans become visible round-over-round). */
+    * MinHash-LSH dedup, SimHash near-dup pairing, the fused curation pass,
+    * and the end-to-end index dedup sweep (warm, one timed pass each —
+    * regressions in the pipeline plans become visible round-over-round). */
   private def pipelineBench(cores: Int, sfDir: String): Map[String, (Double, Long, Long)] = {
     val spark = session(cores)
+    val work = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
     try {
+      import org.apache.spark.sql.functions.{col, concat, lit}
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.col("text"))
+        .select(col("doc_id"), col("text"))
       val nDocs = docs.count()
       def timed(f: => Long): (Double, Long, Long) = {
         f // warm
@@ -139,13 +141,42 @@ object Bench {
         val rows = f
         ((System.nanoTime() - t0) / 1e9, rows, nDocs)
       }
+      // sweep target: an index over docs ∪ near-copies of every 10th; the
+      // dry-run sweep runs the FULL pipeline (shingle → signature → LSH →
+      // verify → components → victim count) without mutating the store, so
+      // warm and timed passes measure the same work
+      val sweepStore = {
+        import spark.implicits._
+        val dups = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" graftdup graftdup")).as("text"))
+        val corpus = docs.unionByName(dups)
+          .select(col("doc_id"), lit("r").as("repo"),
+            concat(lit("doc/"), col("doc_id")).as("path"), lit("c").as("commit"),
+            lit("en").as("lang"), col("text").as("content"))
+          .as[graft.core.CorpusDoc]
+        val store = new IndexStore(spark, s"$work/sweep-idx",
+          IndexConfig(fields = Seq("content")))
+        store.createSegment(corpus)
+        store
+      }
       Map(
         "minhash_lsh" -> timed(
           graft.pipeline.Dedup.minHashLshPairs(docs, numHashes = 64, bands = 16,
             minJaccard = 0.5).count()),
         "simhash" -> timed(
-          graft.pipeline.Dedup.simHashPairs(docs, maxDist = 3).count()))
-    } finally spark.stop()
+          graft.pipeline.Dedup.simHashPairs(docs, maxDist = 3).count()),
+        "curate" -> timed(graft.pipeline.Curation.curate(docs).count()),
+        "dedup_sweep" -> timed(
+          graft.pipeline.Dedup.sweepIndex(sweepStore, minJaccard = 0.5,
+            dryRun = true)))
+    } finally {
+      spark.stop()
+      try {
+        org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+          .delete(new org.apache.hadoop.fs.Path(work), true); ()
+      } catch { case _: Exception => () }
+    }
   }
 
   /** Recursive on-disk size of a directory (bytes). */

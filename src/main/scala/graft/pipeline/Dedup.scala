@@ -338,10 +338,18 @@ object Dedup {
         spark.read.parquet(path)
       case None => df.localCheckpoint(true)
     }
+    // both edge directions via ONE explode over ONE copy of the pairs plan
+    // — a self-union (pairs ∪ pairs.swapped) would duplicate the whole
+    // upstream subplan, doubling its cost, and the duplicated exchanges
+    // trip AQE's reuse into a mis-zipped join stage at scale ("Can't zip
+    // RDDs with unequal numbers of partitions", observed at 200k docs with
+    // the signature-join pair plan)
     val edges = ckpt(pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
-        col("id_a").cast("long").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
+        struct(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct(), "edges")
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")), "labels-0")
@@ -453,25 +461,27 @@ object Dedup {
   /** Shared tail of the sweep pipelines: pairs → connected components →
     * distributed bulk delete of every non-keeper. The sweep only ever
     * creates (and afterwards removes) a GENERATED `graft-sweep-*`
-    * subdirectory inside the caller-supplied checkpoint dir — pointing the
-    * option at a pre-existing or shared directory must never destroy its
-    * other contents. */
+    * subdirectory inside the checkpoint dir — pointing the option at a
+    * pre-existing or shared directory must never destroy its other
+    * contents. With no dir supplied, the subdirectory goes under the
+    * store's own `maintenance/` — the sweep rounds are ALWAYS pinned as
+    * parquet, never `localCheckpoint`: parquet pins survive executor loss
+    * on a real cluster, and `localCheckpoint`'s `Dataset.rdd`
+    * materialization statically zips join stages that adaptive execution
+    * would have re-planned (observed at 200k docs: "Can't zip RDDs with
+    * unequal numbers of partitions" from a sweep-pair plan that every
+    * normal action executes fine). */
   private def applySweep(store: graft.index.IndexStore, pairs: DataFrame,
                          dryRun: Boolean, checkpointDir: Option[String]): Long = {
-    val runDir = checkpointDir.map(dir =>
-      s"$dir/graft-sweep-${java.util.UUID.randomUUID().toString.take(8)}")
+    val runDir = s"${checkpointDir.getOrElse(s"${store.baseDir}/maintenance")}" +
+      s"/graft-sweep-${java.util.UUID.randomUUID().toString.take(8)}"
     // pin the victim set: delete()'s semi-join and the count below must not
     // re-run the whole dedup pipeline (and a concurrent-ish re-read of the
-    // store inside delete() must see a FIXED victim list). With a
-    // checkpointDir the pin survives executor loss, like dupGroups' rounds.
-    val victims0 = dupGroups(pairs, checkpointDir = runDir)
+    // store inside delete() must see a FIXED victim list)
+    val victims0 = dupGroups(pairs, checkpointDir = Some(runDir))
       .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
-    val victims = runDir match {
-      case Some(dir) =>
-        victims0.write.mode("overwrite").parquet(s"$dir/victims")
-        store.spark.read.parquet(s"$dir/victims")
-      case None => victims0.localCheckpoint(true)
-    }
+    victims0.write.mode("overwrite").parquet(s"$runDir/victims")
+    val victims = store.spark.read.parquet(s"$runDir/victims")
     try {
       val n = victims.count()
       if (!dryRun && n > 0) store.delete(victims)
@@ -481,11 +491,9 @@ object Dedup {
       // once the victim set has been applied, the generated subdirectory's
       // datasets (edges / label rounds / victims) are garbage — remove ONLY
       // that subdirectory, never the caller's directory itself
-      runDir.foreach { dir =>
-        val path = new org.apache.hadoop.fs.Path(dir)
-        val fs = path.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
-        fs.delete(path, true); ()
-      }
+      val path = new org.apache.hadoop.fs.Path(runDir)
+      val fs = path.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+      fs.delete(path, true); ()
     }
   }
 
