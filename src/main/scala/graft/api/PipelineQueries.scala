@@ -65,11 +65,15 @@ object PipelineQueries {
     * exactly the 1-scan API shape the operator promises. */
   private val decontCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  private val decontLock = new Object
   private def decontReport(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    decontCache.getOrElseUpdate(dir, {
-      val (docs, bench) = decontCorpora(s, dir)
-      Dedup.contaminationReport(docs, bench, minContainment = 0.8)
-    })
+    // serialize first builds like the sibling caches: a racing thunk would
+    // eagerly materialize (and pin) a second copy of the shingle frames
+    decontCache.get(dir).getOrElse(decontLock.synchronized(
+      decontCache.getOrElseUpdate(dir, {
+        val (docs, bench) = decontCorpora(s, dir)
+        Dedup.contaminationReport(docs, bench, minContainment = 0.8)
+      })))
 
   /** Shared CTE chain of the decontamination oracles: derived bench corpus
     * → per-side shingles (tsh0/bsh0 raw, tsh/bsh union-df-capped). */

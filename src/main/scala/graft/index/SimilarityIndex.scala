@@ -43,21 +43,27 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
   private def metaPath = new Path(s"${store.baseDir}/similarity.json")
   private def fs = metaPath.getFileSystem(hconf)
 
-  private def readMeta(): Option[(String, Int, Long, Int, Set[Int])] = {
+  private final case class Meta(textField: String, numHashes: Int, seed: Long,
+                                shingleK: Int, swept: Set[Int],
+                                sweptMinJaccard: Option[Double])
+
+  private def readMeta(): Option[Meta] = {
     if (!fs.exists(metaPath)) return None
     val in = fs.open(metaPath)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val n = new ObjectMapper().readTree(txt)
     val swept = Option(n.get("sweptSegs")).map(a =>
       (0 until a.size()).map(i => a.get(i).asInt()).toSet).getOrElse(Set.empty)
-    Some((n.get("textField").asText(), n.get("numHashes").asInt(),
-      n.get("seed").asLong(), n.get("shingleK").asInt(), swept))
+    Some(Meta(n.get("textField").asText(), n.get("numHashes").asInt(),
+      n.get("seed").asLong(), n.get("shingleK").asInt(), swept,
+      Option(n.get("sweptMinJaccard")).map(_.asDouble())))
   }
 
-  private def writeMeta(swept: Set[Int]): Unit = {
+  private def writeMeta(swept: Set[Int], minJaccard: Option[Double]): Unit = {
+    val minJ = minJaccard.map(j => s""","sweptMinJaccard":$j""").getOrElse("")
     val json =
       s"""{"textField":"$textField","numHashes":$numHashes,"seed":$seed,""" +
-      s""""shingleK":$shingleK,"sweptSegs":${swept.toSeq.sorted.mkString("[", ",", "]")}}"""
+      s""""shingleK":$shingleK,"sweptSegs":${swept.toSeq.sorted.mkString("[", ",", "]")}$minJ}"""
     val out = fs.create(metaPath, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -67,13 +73,15 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
     * tables are never touched (stage markers) — the incremental contract. */
   def ensure(): Seq[Int] = {
     readMeta() match {
-      case Some((tf, nh, sd, k, _)) =>
-        require(tf == textField && nh == numHashes && sd == seed && k == shingleK,
+      case Some(m) =>
+        require(m.textField == textField && m.numHashes == numHashes &&
+          m.seed == seed && m.shingleK == shingleK,
           s"similarity index at ${store.baseDir} was built with " +
-            s"(field=$tf, hashes=$nh, seed=$sd, k=$k); refusing to mix " +
-            s"signatures with (field=$textField, hashes=$numHashes, " +
-            s"seed=$seed, k=$shingleK) — re-derive under one parameter set")
-      case None => writeMeta(Set.empty)
+            s"(field=${m.textField}, hashes=${m.numHashes}, seed=${m.seed}, " +
+            s"k=${m.shingleK}); refusing to mix signatures with " +
+            s"(field=$textField, hashes=$numHashes, seed=$seed, k=$shingleK) " +
+            "— re-derive under one parameter set")
+      case None => writeMeta(Set.empty, None)
     }
     val missing = store.segments.filterNot(s => store.stageDone(s.id, "minhash"))
     missing.foreach { seg =>
@@ -116,14 +124,24 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
   }
 
   /** Committed segments past the sweep watermark — the docs an incremental
-    * sweep must pair against the whole live corpus. */
-  def unsweptSegs(): Seq[Int] = {
-    val swept = readMeta().map(_._5).getOrElse(Set.empty[Int])
+    * sweep must pair against the whole live corpus. The watermark is ONLY
+    * valid for the threshold it was swept at: a different `minJaccard`
+    * changes which pairs count as duplicates, so the watermark is
+    * discarded and every segment reports unswept (the next sweep is a full
+    * one) — silently keeping it would under-delete after a policy
+    * tightening. */
+  def unsweptSegs(minJaccard: Double): Seq[Int] = {
+    val meta = readMeta()
+    val valid = meta.exists(_.sweptMinJaccard.contains(minJaccard))
+    val swept = if (valid) meta.map(_.swept).getOrElse(Set.empty[Int])
+                else Set.empty[Int]
     store.segments.map(_.id).filterNot(swept)
   }
 
-  /** Advances the sweep watermark to every currently committed segment.
-    * Called by the sweep AFTER its deletes land; a dry run never advances
-    * (its findings were not applied, so the segments are still unswept). */
-  def markSwept(): Unit = writeMeta(store.segments.map(_.id).toSet)
+  /** Advances the sweep watermark (recording its threshold) to every
+    * currently committed segment. Called by the sweep AFTER its deletes
+    * land; a dry run never advances (its findings were not applied, so the
+    * segments are still unswept). */
+  def markSwept(minJaccard: Double): Unit =
+    writeMeta(store.segments.map(_.id).toSet, Some(minJaccard))
 }

@@ -425,7 +425,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sim = new graft.index.SimilarityIndex(store, textField, numHashes)
     sim.ensure()
-    val freshIds = sim.unsweptSegs()
+    // a threshold change invalidates the watermark (unsweptSegs returns
+    // everything) — the sweep silently degrades to a FULL one, never to an
+    // under-deleting incremental one
+    val freshIds = sim.unsweptSegs(minJaccard)
     if (freshIds.isEmpty) return 0L
     val buckets = lshBuckets(sim.liveSignatures(), bands, numHashes / bands,
       keepCols = Seq("seg"))
@@ -454,7 +457,7 @@ object Dedup {
           size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
     val n = applySweep(store, pairs, dryRun, checkpointDir)
-    if (!dryRun) sim.markSwept()
+    if (!dryRun) sim.markSwept(minJaccard)
     n
   }
 
@@ -473,6 +476,17 @@ object Dedup {
     * normal action executes fine). */
   private def applySweep(store: graft.index.IndexStore, pairs: DataFrame,
                          dryRun: Boolean, checkpointDir: Option[String]): Long = {
+    // A count-only audit (dryRun with no explicit dir) must not WRITE into
+    // anything — an auditor may have read-only access to the store — so it
+    // pins with localCheckpoint. Every applying sweep pins as parquet: the
+    // pins survive executor loss, and the audit trade-off does not apply
+    // (an applying sweep writes tombstones anyway). A killed applying
+    // sweep can leave a graft-sweep-* dir behind; it is inert and safe to
+    // delete.
+    if (dryRun && checkpointDir.isEmpty)
+      return dupGroups(pairs)
+        .filter(col("doc_id") =!= col("keep_id"))
+        .count()
     val runDir = s"${checkpointDir.getOrElse(s"${store.baseDir}/maintenance")}" +
       s"/graft-sweep-${java.util.UUID.randomUUID().toString.take(8)}"
     // pin the victim set: delete()'s semi-join and the count below must not

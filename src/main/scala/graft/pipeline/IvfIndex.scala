@@ -47,16 +47,18 @@ class IvfIndex private (val spark: SparkSession, val dir: String,
   def topK(queries: DataFrame, k: Int, nProbe: Int = 8,
            excludeSelf: Boolean = true,
            maxBroadcastQueries: Long = Similarity.DefaultMaxBroadcastQueries): DataFrame = {
-    val small = queries.limit((maxBroadcastQueries + 1).toInt).count() <= maxBroadcastQueries
-    val assigned =
-      if (!small) assignments
-      else {
-        val cells = Similarity.probeCells(queries, centroids, nProbe)
-          .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
-        assignments.filter(col("cell").isInCollection(cells))
-      }
-    Similarity.ivfScore(queries, assigned, centroids, k, nProbe,
-      excludeSelf, maxBroadcastQueries)
+    val small = Similarity.fitsBound(queries, maxBroadcastQueries)
+    val probes = Similarity.probeCells(queries, centroids, nProbe)
+    if (small) {
+      // one extra evaluation of the (small) probes plan collects the probed
+      // cell ids — nQ × nProbe ints, driver-safe at the same bound that
+      // allows the broadcast — pushed as a partition filter so the scan
+      // reads only the probed cell directories
+      val cells = probes.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      Similarity.ivfScoreFromProbes(broadcast(probes),
+        assignments.filter(col("cell").isInCollection(cells)), k, excludeSelf)
+    } else Similarity.ivfScoreFromProbes(probes, assignments, k, excludeSelf)
   }
 }
 

@@ -104,11 +104,18 @@ object Similarity {
     * in the tens of MB. */
   val DefaultMaxBroadcastQueries: Long = 10000L
 
-  /** Broadcast `df` only when `queries` provably holds at most `bound`
-    * rows — counted with a `limit(bound+1)` scan, so the guard never pays
-    * a full count of a huge query table. */
+  /** True when `queries` provably holds at most `bound` rows — counted
+    * with a `limit(bound+1)` scan, so the guard never pays a full count of
+    * a huge query table. A bound at or past Int.MaxValue means "always
+    * broadcast" (the caller opted out of the guard) — naively adding 1
+    * would overflow the Int limit and invert the decision. */
+  private[pipeline] def fitsBound(queries: DataFrame, bound: Long): Boolean =
+    if (bound <= 0) false
+    else bound >= Int.MaxValue ||
+      queries.limit(bound.toInt + 1).count() <= bound
+
   private def maybeBroadcast(df: DataFrame, queries: DataFrame, bound: Long): DataFrame =
-    if (queries.limit((bound + 1).toInt).count() <= bound) broadcast(df) else df
+    if (fitsBound(queries, bound)) broadcast(df) else df
 
   /** nLists ≈ √n — the standard IVF sizing (cells and per-cell scan cost
     * balance at the square root). */
@@ -131,14 +138,10 @@ object Similarity {
       .select(col("qid"), col("qv"), col("probe.cell").as("cell"))
   }
 
-  /** Scoring tail shared by the ad-hoc [[ivfTopK]] and the persisted
-    * [[IvfIndex]]: join probes to cell assignments `(vec_id, cv, cell)`,
-    * cosine, per-query top-k. */
-  private[pipeline] def ivfScore(queries: DataFrame, assigned: DataFrame,
-      centroids: Array[Array[Double]], k: Int, nProbe: Int,
-      excludeSelf: Boolean, maxBroadcastQueries: Long): DataFrame = {
-    val probes = maybeBroadcast(probeCells(queries, centroids, nProbe),
-      queries, maxBroadcastQueries)
+  /** Scoring tail over PREPARED probes `(qid, qv, cell)` — the caller owns
+    * the broadcast decision and any cell pruning of `assigned`. */
+  private[pipeline] def ivfScoreFromProbes(probes: DataFrame, assigned: DataFrame,
+      k: Int, excludeSelf: Boolean): DataFrame = {
     val scored = assigned.join(probes, Seq("cell"))
       .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .select(col("qid"), col("vec_id"), cosine(col("qv"), col("cv")).as("cos"))
@@ -146,6 +149,16 @@ object Similarity {
       .partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Scoring tail shared by the ad-hoc [[ivfTopK]] and the persisted
+    * [[IvfIndex]]: join probes to cell assignments `(vec_id, cv, cell)`,
+    * cosine, per-query top-k. */
+  private[pipeline] def ivfScore(queries: DataFrame, assigned: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nProbe: Int,
+      excludeSelf: Boolean, maxBroadcastQueries: Long): DataFrame =
+    ivfScoreFromProbes(
+      maybeBroadcast(probeCells(queries, centroids, nProbe), queries, maxBroadcastQueries),
+      assigned, k, excludeSelf)
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer (MLlib KMeans,
     * seeded) partitions the corpus into nLists cells; a query scores only

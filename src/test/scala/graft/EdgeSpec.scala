@@ -333,13 +333,13 @@ class EdgeSpec extends AnyFunSuite {
         s""""segments":[{"id":0,"numDocs":${i + 1}}]}""")
     }
     val reg = new graft.index.AppRegistry(spark, root)
-    val t0 = System.nanoTime()
     val rows = reg.listApps().collect()
-    val sec = (System.nanoTime() - t0) / 1e9
     assert(rows.length == 100)
     assert(rows.map(r => (r.getString(0), r.getLong(2))).toSeq
       .sortBy(_._1).take(3) == Seq(("app000", 1L), ("app001", 2L), ("app002", 3L)))
-    assert(sec < 2.0, f"100-app listing took $sec%.1f s — metadata loop not pooled?")
+    // (no wall-clock assertion: local-FS manifest reads are too fast to
+    // distinguish pooled from serial, and timing asserts flake on loaded
+    // hosts — the pooling itself is the Future.sequence in listApps)
   }
 
   test("Cli decontaminate writes pairs + coverage from one report") {

@@ -198,6 +198,16 @@ class PipelineSpec extends AnyFunSuite {
       "incremental sweep re-signatured an already-covered segment")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(store.baseDir,
       "seg-1", "_checkpoints", "minhash.json")))
+    // the watermark is threshold-scoped: a different minJaccard must
+    // invalidate it (silently keeping it would under-delete after a
+    // policy tightening)
+    val sim = new SimilarityIndex(store)
+    assert(sim.unsweptSegs(0.5).isEmpty)
+    assert(sim.unsweptSegs(0.9).nonEmpty,
+      "threshold change must force a full re-sweep")
+    // sweep pins are cleaned: no graft-sweep-* leftovers under maintenance
+    val maint = new java.io.File(store.baseDir, "maintenance")
+    assert(!maint.exists() || maint.listFiles().isEmpty)
     // parameter pinning: a different signature config must fail loudly
     val err = intercept[IllegalArgumentException] {
       new SimilarityIndex(store, numHashes = 32).ensure()
