@@ -15,8 +15,11 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Cli app.jar search <indexDir> <k> <mode> <query...> [--boost field=w]...
   * spark-submit --class graft.Cli app.jar apps   <registryRoot>
   * spark-submit --class graft.Cli app.jar delete <indexDir> <docId,docId,...>
-  * spark-submit --class graft.Cli app.jar dedup  <indexDir> [--min-jaccard 0.9] [--dry-run] [--checkpoint-dir d]
-  *   (--checkpoint-dir: the sweep creates, and afterwards deletes, a
+  * spark-submit --class graft.Cli app.jar dedup  <indexDir> [--min-jaccard 0.9] [--incremental] [--dry-run] [--checkpoint-dir d]
+  *   (--incremental: persisted-signature sweep — signatures only segments
+  *   not yet swept at this threshold and pairs them against the live
+  *   corpus through the stored signature table; first run == full sweep.
+  *   --checkpoint-dir: the sweep creates, and afterwards deletes, a
   *   generated graft-sweep-* SUBdirectory under d; d itself and its other
   *   contents are never touched)
   * spark-submit --class graft.Cli app.jar stream <inputDir> <indexDir> [--checkpoint-dir d]
@@ -130,9 +133,14 @@ object Cli {
         val ckpt = args.sliding(2).collectFirst {
           case Array("--checkpoint-dir", v) => v }
         val store = IndexStore.open(spark, args(1))
-        val n = graft.pipeline.Dedup.sweepIndex(store, minJ, dryRun = dry,
-          checkpointDir = ckpt)
-        println(s"[graft] near-dup sweep (jaccard >= $minJ): $n duplicate docs " +
+        val inc = args.contains("--incremental")
+        val n =
+          if (inc) graft.pipeline.Dedup.sweepIndexPersisted(store, minJ,
+            dryRun = dry, checkpointDir = ckpt)
+          else graft.pipeline.Dedup.sweepIndex(store, minJ, dryRun = dry,
+            checkpointDir = ckpt)
+        println(s"[graft] near-dup sweep (jaccard >= $minJ" +
+          (if (inc) ", incremental" else "") + s"): $n duplicate docs " +
           (if (dry) "found (dry run)" else "tombstoned"))
       case "stream" =>
         // micro-batch streaming ingest: every parquet file that appears in

@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *   cell=<i>/            partitioned BY CELL: a query's nProbe cells map
   *                        to nProbe directories, so the scan physically
   *                        prunes to ~nProbe/nLists of the corpus
+  * dir/tombstones/      — deleted vec_ids (appended; reads anti-join)
   * }}}
   *
   * Incremental `add` assigns new vectors to their nearest EXISTING
@@ -29,14 +30,38 @@ import org.apache.spark.sql.functions._
 class IvfIndex private (val spark: SparkSession, val dir: String,
                         val centroids: Array[Array[Double]]) {
 
+  private def tombstonePath = new Path(s"$dir/tombstones")
+  private def fs =
+    tombstonePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Raw stored assignments (including deleted rows — see [[live]]). */
   def assignments: DataFrame = spark.read.parquet(s"$dir/assignments")
 
+  /** Assignments minus tombstoned vectors — what queries score. The
+    * anti-join is the same delete strategy as the text store's: cell
+    * tables are never rewritten in place. */
+  def live: DataFrame =
+    if (!fs.exists(tombstonePath)) assignments
+    else {
+      val ts = spark.read.parquet(tombstonePath.toString)
+        .select(col("vec_id").as("t_vec_id")).distinct()
+      assignments.join(ts, col("vec_id") === col("t_vec_id"), "left_anti")
+    }
+
   /** Append new vectors `(vec_id, embedding)`, quantized against the
-    * persisted centroids — touches only the new rows. */
+    * persisted centroids — touches only the new rows. Re-adding a deleted
+    * id does NOT resurrect it (tombstones win); use fresh ids. */
   def add(vectors: DataFrame): Unit =
     IvfIndex.assign(vectors, centroids)
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$dir/assignments")
+
+  /** Tombstone vectors by id (one-column DataFrame, castable to long like
+    * the store's bulk delete — the id set is never collected). Cell tables
+    * are untouched; [[live]] filters at read time. */
+  def delete(ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
+      .write.mode(SaveMode.Append).parquet(tombstonePath.toString)
 
   /** Top-k cosine neighbors from the persisted cells. When every query's
     * probe set is known small (the broadcast-guard bound), the probed cell
@@ -57,8 +82,8 @@ class IvfIndex private (val spark: SparkSession, val dir: String,
       val cells = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSeq
       Similarity.ivfScoreFromProbes(broadcast(probes),
-        assignments.filter(col("cell").isInCollection(cells)), k, excludeSelf)
-    } else Similarity.ivfScoreFromProbes(probes, assignments, k, excludeSelf)
+        live.filter(col("cell").isInCollection(cells)), k, excludeSelf)
+    } else Similarity.ivfScoreFromProbes(probes, live, k, excludeSelf)
   }
 }
 

@@ -368,6 +368,26 @@ class EdgeSpec extends AnyFunSuite {
     assert(cov.size == 4)
   }
 
+  test("Cli dedup --incremental sweeps via the persisted signature index") {
+    val docs = (0 until 12).map { i =>
+      CorpusDoc(i.toLong, "r", s"p/$i", "a" * 40, "en",
+        s"uno$i dos$i tres$i cuatro$i cinco$i seis$i")
+    } ++ Seq(3, 8).map(i =>
+      CorpusDoc(i + 100L, "r", s"p/c$i", "b" * 40, "en",
+        s"uno$i dos$i tres$i cuatro$i cinco$i seis$i extra"))
+    val dir = TestSpark.tempDir("cli-inc")
+    val store = new IndexStore(spark, dir,
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(spark.createDataset(docs))
+    graft.Cli.run(spark, Array("dedup", dir, "--min-jaccard", "0.5", "--incremental"))
+    assert(store.liveCorpus().count() == 12)
+    // second run: watermark covers everything at this threshold — no-op
+    graft.Cli.run(spark, Array("dedup", dir, "--min-jaccard", "0.5", "--incremental"))
+    assert(store.liveCorpus().count() == 12)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "similarity.json")))
+  }
+
   test("prefix expansion at code-point boundaries: U+D7FF-adjacent and astral prefixes") {
     val docs = Seq(
       CorpusDoc(1L, "r", "p/1", "a" * 40, "en", "x퟾ab x퟿ab"),

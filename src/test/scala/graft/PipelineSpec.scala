@@ -236,6 +236,12 @@ class PipelineSpec extends AnyFunSuite {
     val top1 = idx.topK(emb.filter($"vec_id" === 0), k = 1, nProbe = 4)
       .collect().head
     assert(top1.getLong(1) == 100000L && top1.getDouble(2) > 0.999999)
+    // tombstone delete: the duplicate disappears from queries without any
+    // cell table rewrite, restoring the pre-add answer
+    idx.delete(Seq(100000L).toDF("vec_id"))
+    val top1After = idx.topK(emb.filter($"vec_id" === 0), k = 1, nProbe = 4)
+      .collect().head
+    assert(top1After.getLong(1) != 100000L)
     // nLists <= 0 derives the sqrt(n) default
     assert(Similarity.defaultNLists(10000) == 100)
   }
@@ -273,6 +279,9 @@ class PipelineSpec extends AnyFunSuite {
       "simhash" -> Dedup.simHashPairs(nearDup, maxDist = 3),
       "ann_lsh" -> Similarity.lshTopK(emb.filter($"vec_id" < 4), emb, k = 5, nBits = 16, bands = 8),
       "ann_ivf" -> Similarity.ivfTopK(emb.filter($"vec_id" < 4), emb, k = 5, nLists = 8, nProbe = 2),
+      "ann_ivf_persisted" -> IvfIndex
+        .build(emb, TestSpark.tempDir("plan-ivf"), nLists = 8)
+        .topK(emb.filter($"vec_id" < 4), k = 5, nProbe = 2),
       "emb_dup_lsh" -> Similarity.embeddingDupPairs(emb, tau = 0.95, exact = false))
     plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
