@@ -278,6 +278,15 @@ object PipelineQueries {
         java.nio.file.Files.createTempDirectory("graft-ivf").toString,
         nLists = 16, seed = 42L))))
 
+  /** DuckDB expression replaying [[TextAnalysis.BpeMerges]] in rank order
+    * over a pre-token column `t` (wrapped-symbol replace encoding — the
+    * exact twin of [[TextAnalysis.bpeSymbolCount]]'s state string). */
+  private val bpeMergedSqlExpr: String =
+    TextAnalysis.BpeMerges.foldLeft(
+      """regexp_replace(t, '(.)', ' \1 ', 'g')""") { case (s, (a, b)) =>
+      s"replace($s, ' $a  $b ', ' $a$b ')"
+    }
+
   /** Documents-shaped frame → CorpusDoc columns (content = text). */
   private def toCorpus(s: SparkSession, df: DataFrame) = {
     import s.implicits._
@@ -554,10 +563,7 @@ object PipelineQueries {
       (s, dir) => TextAnalysis.bpeTokenCounts(Corpus.documents(s, dir))
         .orderBy("doc_id"),
       Some {
-        val merged = TextAnalysis.BpeMerges.foldLeft(
-          """regexp_replace(t, '(.)', ' \1 ', 'g')""") { case (s, (a, b)) =>
-          s"replace($s, ' $a  $b ', ' $a$b ')"
-        }
+        val merged = bpeMergedSqlExpr
         s"""WITH pre AS (SELECT doc_id, unnest(regexp_extract_all(text,
            |       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS t FROM documents),
            |m AS (SELECT doc_id, $merged AS s FROM pre),
@@ -625,7 +631,7 @@ object PipelineQueries {
           round(col("uniq_ratio"), 4).as("uniq_ratio"),
           round(col("stopword_ratio"), 4).as("stopword_ratio"),
           round(col("nonalnum_ratio"), 4).as("nonalnum_ratio"),
-          col("n_bpe_approx"),
+          col("n_bpe_approx"), col("n_bpe_tokens"),
           (col("n_emails") + col("n_ips") + col("n_digit_runs")).as("n_pii"),
           length(col("text_clean")).as("n_clean_chars"), col("split"))
         .orderBy("doc_id"),
@@ -651,7 +657,13 @@ object PipelineQueries {
            |        regexp_replace(t1, '$ip', '[IP]', 'g') AS t2 FROM s1),
            |s3 AS (SELECT doc_id, n_emails, n_ips,
            |        len(regexp_extract_all(t2, '$dig')) AS n_digit_runs,
-           |        length(regexp_replace(t2, '$dig', '[NUM]', 'g')) AS n_clean_chars FROM s2)
+           |        length(regexp_replace(t2, '$dig', '[NUM]', 'g')) AS n_clean_chars FROM s2),
+           |bpre AS (SELECT doc_id, unnest(regexp_extract_all(text,
+           |        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS t FROM documents),
+           |bm AS (SELECT doc_id, $bpeMergedSqlExpr AS s FROM bpre),
+           |bcnt AS (SELECT doc_id,
+           |        sum((length(s) - length(replace(s, ' ', ''))) // 2) AS n_bpe
+           |        FROM bm GROUP BY doc_id)
            |SELECT d.doc_id,
            |  CASE WHEN coalesce(best, 0) = 0 THEN 'und' $predCase END AS lang_pred,
            |  coalesce(best, 0) AS best_hits,
@@ -660,6 +672,7 @@ object PipelineQueries {
            |  round(coalesce(a.n_stop, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1), 4) AS stopword_ratio,
            |  round(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) * 1.0 / greatest(length(d.text), 1), 4) AS nonalnum_ratio,
            |  len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_approx,
+           |  coalesce(bcnt.n_bpe, 0)::BIGINT AS n_bpe_tokens,
            |  s3.n_emails + s3.n_ips + s3.n_digit_runs AS n_pii, s3.n_clean_chars,
            |  CASE WHEN ${Sampling.bucketSql("d.doc_id")} < 800000 THEN 'train'
            |       WHEN ${Sampling.bucketSql("d.doc_id")} < 900000 THEN 'val'
@@ -668,6 +681,7 @@ object PipelineQueries {
            |-- the engine still emits it (n_tokens 0, lang 'und')
            |FROM documents d LEFT JOIN scored a ON a.doc_id = d.doc_id
            |JOIN s3 ON d.doc_id = s3.doc_id
+           |LEFT JOIN bcnt ON d.doc_id = bcnt.doc_id
            |ORDER BY d.doc_id""".stripMargin
       }),
 

@@ -50,6 +50,12 @@ object Curation {
         greatest(length(col("t")), lit(1))).as("nonalnum_ratio"),
       regexp_count(col("t"), lit(TextAnalysis.PreTokenRe))
         .cast("long").as("n_bpe_approx"),
+      // the REAL merges-table BPE count ([[TextAnalysis.bpeTokenCounts]]
+      // semantics), still map-side string ops inside the same codegen stage
+      aggregate(
+        transform(regexp_extract_all(col("t"), lit(TextAnalysis.PreTokenRe), lit(0)),
+          tok => TextAnalysis.bpeSymbolCount(tok, TextAnalysis.BpeMerges)),
+        lit(0L), (acc, v) => acc + v).as("n_bpe_tokens"),
       regexp_count(col("t"), lit(TextAnalysis.EmailRe)).cast("long").as("n_emails"),
       regexp_count(col("t1"), lit(TextAnalysis.Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col("t2"), lit(TextAnalysis.LongDigitRe)).cast("long").as("n_digit_runs"),

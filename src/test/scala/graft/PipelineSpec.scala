@@ -679,6 +679,7 @@ class PipelineSpec extends AnyFunSuite {
     val parts = TextAnalysis.langId(docs)
       .join(TextAnalysis.qualityFeatures(docs), "doc_id")
       .join(TextAnalysis.tokenCounts(docs).drop("n_ws_tokens"), "doc_id")
+      .join(TextAnalysis.bpeTokenCounts(docs).drop("n_pretokens"), "doc_id")
       .join(TextAnalysis.scrubPii(docs), "doc_id")
       .join(Sampling.withSplit(docs.select($"doc_id"), "doc_id", 800000L, 100000L), "doc_id")
       .select(fused.columns.map(col).toSeq: _*)
