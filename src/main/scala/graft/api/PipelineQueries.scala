@@ -287,6 +287,18 @@ object PipelineQueries {
       s"replace($s, ' $a  $b ', ' $a$b ')"
     }
 
+  /** The BPE-count oracle CTE trio over the documents table, alias-prefixed
+    * so q_token_counts_bpe and q_curate share ONE definition: `<p>pre`
+    * (unnested pre-tokens), `<p>m` (merged symbol strings), `<p>cnt`
+    * (per-doc `n_bpe`). */
+  private def bpeCtes(p: String): String =
+    s"""${p}pre AS (SELECT doc_id, unnest(regexp_extract_all(text,
+       |        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS t FROM documents),
+       |${p}m AS (SELECT doc_id, $bpeMergedSqlExpr AS s FROM ${p}pre),
+       |${p}cnt AS (SELECT doc_id,
+       |        sum((length(s) - length(replace(s, ' ', ''))) // 2) AS n_bpe
+       |        FROM ${p}m GROUP BY doc_id)""".stripMargin
+
   /** Documents-shaped frame → CorpusDoc columns (content = text). */
   private def toCorpus(s: SparkSession, df: DataFrame) = {
     import s.implicits._
@@ -562,20 +574,13 @@ object PipelineQueries {
     QueryDef("q_token_counts_bpe",
       (s, dir) => TextAnalysis.bpeTokenCounts(Corpus.documents(s, dir))
         .orderBy("doc_id"),
-      Some {
-        val merged = bpeMergedSqlExpr
-        s"""WITH pre AS (SELECT doc_id, unnest(regexp_extract_all(text,
-           |       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS t FROM documents),
-           |m AS (SELECT doc_id, $merged AS s FROM pre),
-           |cnt AS (SELECT doc_id,
-           |        sum((length(s) - length(replace(s, ' ', ''))) // 2) AS n_bpe
-           |        FROM m GROUP BY doc_id)
+      Some(
+        s"""WITH ${bpeCtes("")}
            |SELECT d.doc_id,
            |  len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_pretokens,
            |  coalesce(cnt.n_bpe, 0)::BIGINT AS n_bpe_tokens
            |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
-           |ORDER BY d.doc_id""".stripMargin
-      }),
+           |ORDER BY d.doc_id""".stripMargin)),
 
     // winnowed fingerprints over the portable hash family — the full
     // shingle-hash → window-min → distinct chain is hash-verified via
@@ -658,12 +663,7 @@ object PipelineQueries {
            |s3 AS (SELECT doc_id, n_emails, n_ips,
            |        len(regexp_extract_all(t2, '$dig')) AS n_digit_runs,
            |        length(regexp_replace(t2, '$dig', '[NUM]', 'g')) AS n_clean_chars FROM s2),
-           |bpre AS (SELECT doc_id, unnest(regexp_extract_all(text,
-           |        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS t FROM documents),
-           |bm AS (SELECT doc_id, $bpeMergedSqlExpr AS s FROM bpre),
-           |bcnt AS (SELECT doc_id,
-           |        sum((length(s) - length(replace(s, ' ', ''))) // 2) AS n_bpe
-           |        FROM bm GROUP BY doc_id)
+           |${bpeCtes("b")}
            |SELECT d.doc_id,
            |  CASE WHEN coalesce(best, 0) = 0 THEN 'und' $predCase END AS lang_pred,
            |  coalesce(best, 0) AS best_hits,

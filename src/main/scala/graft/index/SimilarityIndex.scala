@@ -68,29 +68,37 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Fails loudly on a parameter mismatch with the persisted config;
+    * writes NOTHING (safe on a read-only store). */
+  def validateParams(): Unit = readMeta().foreach { m =>
+    require(m.textField == textField && m.numHashes == numHashes &&
+      m.seed == seed && m.shingleK == shingleK,
+      s"similarity index at ${store.baseDir} was built with " +
+        s"(field=${m.textField}, hashes=${m.numHashes}, seed=${m.seed}, " +
+        s"k=${m.shingleK}); refusing to mix signatures with " +
+        s"(field=$textField, hashes=$numHashes, seed=$seed, k=$shingleK) " +
+        "— re-derive under one parameter set")
+  }
+
+  /** The signature plan for one segment's stored corpus. */
+  private def segSignaturePlan(segId: Int): DataFrame = {
+    val corpus = spark.read.parquet(store.segPath(segId, "corpus"))
+      .select(col("doc_id"), col(textField).as("text"))
+    graft.pipeline.Dedup.minHashSignatures(
+      graft.pipeline.Dedup.shingles(corpus, k = shingleK, maxShingleDf = 0),
+      numHashes, seed)
+  }
+
   /** Computes signature tables for every committed segment lacking one;
     * returns the segment ids that were signatured by THIS call. Existing
     * tables are never touched (stage markers) — the incremental contract. */
   def ensure(): Seq[Int] = {
-    readMeta() match {
-      case Some(m) =>
-        require(m.textField == textField && m.numHashes == numHashes &&
-          m.seed == seed && m.shingleK == shingleK,
-          s"similarity index at ${store.baseDir} was built with " +
-            s"(field=${m.textField}, hashes=${m.numHashes}, seed=${m.seed}, " +
-            s"k=${m.shingleK}); refusing to mix signatures with " +
-            s"(field=$textField, hashes=$numHashes, seed=$seed, k=$shingleK) " +
-            "— re-derive under one parameter set")
-      case None => writeMeta(Set.empty, None)
-    }
+    validateParams()
+    if (readMeta().isEmpty) writeMeta(Set.empty, None)
     val missing = store.segments.filterNot(s => store.stageDone(s.id, "minhash"))
     missing.foreach { seg =>
       store.runStage(seg.id, "minhash", Seq(s"seg-${seg.id}/corpus"), resume = true) {
-        val corpus = spark.read.parquet(store.segPath(seg.id, "corpus"))
-          .select(col("doc_id"), col(textField).as("text"))
-        graft.pipeline.Dedup.minHashSignatures(
-          graft.pipeline.Dedup.shingles(corpus, k = shingleK, maxShingleDf = 0),
-          numHashes, seed)
+        segSignaturePlan(seg.id)
       }
     }
     missing.map(_.id)
@@ -101,12 +109,19 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
     StructField("sig", ArrayType(LongType))))
 
   /** All committed segments' signatures with a `seg` provenance column
-    * (explicit schema: no inference job per segment). Call [[ensure]]
-    * first; a segment without its table fails loudly here. */
-  def signatures(): DataFrame =
+    * (explicit schema: no inference job per segment). With
+    * `transientMissing = false` (default), call [[ensure]] first — a
+    * segment without its table fails loudly here. With it true, segments
+    * lacking a table contribute their signature PLAN instead (recomputed
+    * per action, nothing written) — the read-only shape a dry-run audit
+    * needs. */
+  def signatures(transientMissing: Boolean = false): DataFrame =
     store.segments.map { s =>
-      spark.read.schema(sigSchema).parquet(store.segPath(s.id, "minhash"))
-        .withColumn("seg", lit(s.id))
+      if (transientMissing && !store.stageDone(s.id, "minhash"))
+        segSignaturePlan(s.id).withColumn("seg", lit(s.id))
+      else
+        spark.read.schema(sigSchema).parquet(store.segPath(s.id, "minhash"))
+          .withColumn("seg", lit(s.id))
     }.reduceOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -115,8 +130,8 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
   /** Signatures of LIVE documents only — the same tombstone anti-join
     * semantics as [[IndexStore.liveCorpus]] (a doc deleted at or after its
     * segment's generation is filtered). */
-  def liveSignatures(): DataFrame = {
-    val sigs = signatures()
+  def liveSignatures(transientMissing: Boolean = false): DataFrame = {
+    val sigs = signatures(transientMissing)
     if (store.tombstoneCount() == 0L) return sigs
     val ts = store.tombstoneAgg()
     sigs.join(ts, sigs("doc_id") === ts("t_doc_id") &&

@@ -24,9 +24,10 @@ object Curation {
     // chained selects over one scan, still a single codegen stage
     val staged = docs.select(col("doc_id"), col(textCol).as("t"),
         Analyzer.tokens(col(textCol)).as("toks"),
+        regexp_extract_all(col(textCol), lit(TextAnalysis.PreTokenRe), lit(0)).as("pre"),
         regexp_replace(col(textCol), TextAnalysis.EmailRe, "[EMAIL]").as("t1"))
       .select(
-        Seq(col("doc_id"), col("t"), col("toks"), col("t1"),
+        Seq(col("doc_id"), col("t"), col("toks"), col("pre"), col("t1"),
           regexp_replace(col("t1"), TextAnalysis.Ipv4Re, "[IP]").as("t2")) ++
         TextAnalysis.StopwordSets.map { case (lang, words) =>
           size(filter(col("toks"), t => t.isInCollection(words))).as(s"s_$lang")
@@ -48,14 +49,12 @@ object Curation {
         greatest(size(col("toks")), lit(1))).as("stopword_ratio"),
       (length(regexp_replace(col("t"), "[a-z0-9 ]", "")).cast("double") /
         greatest(length(col("t")), lit(1))).as("nonalnum_ratio"),
-      regexp_count(col("t"), lit(TextAnalysis.PreTokenRe))
-        .cast("long").as("n_bpe_approx"),
-      // the REAL merges-table BPE count ([[TextAnalysis.bpeTokenCounts]]
-      // semantics), still map-side string ops inside the same codegen stage
-      aggregate(
-        transform(regexp_extract_all(col("t"), lit(TextAnalysis.PreTokenRe), lit(0)),
-          tok => TextAnalysis.bpeSymbolCount(tok, TextAnalysis.BpeMerges)),
-        lit(0L), (acc, v) => acc + v).as("n_bpe_tokens"),
+      // both counts derive from ONE evaluation of the pre-token regex (the
+      // staged `pre` array): the approx is its length, the real count is
+      // the shared merges-table core — map-side, same codegen stage
+      size(col("pre")).cast("long").as("n_bpe_approx"),
+      TextAnalysis.bpeTokenCountCol(col("pre"), TextAnalysis.BpeMerges)
+        .as("n_bpe_tokens"),
       regexp_count(col("t"), lit(TextAnalysis.EmailRe)).cast("long").as("n_emails"),
       regexp_count(col("t1"), lit(TextAnalysis.Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col("t2"), lit(TextAnalysis.LongDigitRe)).cast("long").as("n_digit_runs"),

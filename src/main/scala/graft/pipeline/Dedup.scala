@@ -414,8 +414,9 @@ object Dedup {
     * (minJaccard, textField): the watermarked corpus is internally
     * dup-free, so every surviving duplicate pair involves a new doc. The
     * FIRST call (empty watermark) IS the full sweep. Returns the number of
-    * docs swept; `dryRun` counts without deleting and leaves the watermark
-    * untouched. */
+    * docs swept; `dryRun` counts without deleting and WRITES NOTHING —
+    * missing signature tables are computed transiently in-plan and the
+    * watermark stays untouched. */
   def sweepIndexPersisted(store: graft.index.IndexStore,
                           minJaccard: Double = 0.9,
                           textField: String = "content",
@@ -424,14 +425,17 @@ object Dedup {
                           numHashes: Int = 64, bands: Int = 16): Long = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sim = new graft.index.SimilarityIndex(store, textField, numHashes)
-    sim.ensure()
+    // a DRY run must stay read-only (an auditor may lack write access):
+    // missing signature tables are computed transiently in-plan instead of
+    // persisted, and the watermark/metadata are untouched
+    if (dryRun) sim.validateParams() else { sim.ensure(); () }
     // a threshold change invalidates the watermark (unsweptSegs returns
     // everything) — the sweep silently degrades to a FULL one, never to an
     // under-deleting incremental one
     val freshIds = sim.unsweptSegs(minJaccard)
     if (freshIds.isEmpty) return 0L
-    val buckets = lshBuckets(sim.liveSignatures(), bands, numHashes / bands,
-      keepCols = Seq("seg"))
+    val buckets = lshBuckets(sim.liveSignatures(transientMissing = dryRun),
+      bands, numHashes / bands, keepCols = Seq("seg"))
     val fresh = buckets.filter(col("seg").isInCollection(freshIds))
       .select(col("band"), col("key"), col("doc_id").as("id_x"))
     val all = buckets.select(col("band"), col("key"), col("doc_id").as("id_y"))

@@ -114,6 +114,11 @@ object IvfIndex {
             seed: Long = 42L): IvfIndex = {
     val spark = corpus.sparkSession
     val (centroids, assigned) = Similarity.fitQuantizer(corpus, nLists, seed)
+    // a re-build starts a NEW index generation: tombstones of the previous
+    // generation must not suppress ids the fresh corpus legitimately holds
+    val ts = new Path(s"$dir/tombstones")
+    val fs0 = ts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs0.exists(ts)) fs0.delete(ts, true)
     assigned.repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$dir/assignments")

@@ -133,6 +133,13 @@ object TextAnalysis {
     ((length(merged) - length(replace(merged, lit(" "), lit("")))) / 2).cast("long")
   }
 
+  /** Total BPE token count over a PRE-TOKEN ARRAY column — the shared
+    * Column core of [[bpeTokenCounts]] and the fused curation pass. */
+  private[pipeline] def bpeTokenCountCol(pre: Column,
+      merges: Seq[(String, String)]): Column =
+    aggregate(transform(pre, t => bpeSymbolCount(t, merges)),
+      lit(0L), (acc, v) => acc + v)
+
   /** REAL merges-table BPE token counting — what a training pipeline
     * actually reports per document: pre-tokenize ([[PreTokenRe]]), apply
     * the merges within each pre-token, sum the resulting symbol counts.
@@ -147,8 +154,7 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       size(pre).cast("long").as("n_pretokens"),
-      aggregate(transform(pre, t => bpeSymbolCount(t, merges)),
-        lit(0L), (acc, v) => acc + v).as("n_bpe_tokens"))
+      bpeTokenCountCol(pre, merges).as("n_bpe_tokens"))
   }
 
   /** PII patterns: kept to constructs with identical semantics in Java

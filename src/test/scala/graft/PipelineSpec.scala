@@ -170,6 +170,12 @@ class PipelineSpec extends AnyFunSuite {
     val store = new IndexStore(spark, TestSpark.tempDir("sweep-inc"),
       IndexConfig(shardSpan = 64, fields = Seq("content")))
     store.createSegment(spark.createDataset(base ++ copies))
+    // a dry run on a virgin store writes NOTHING (auditor-safe): missing
+    // signatures are computed transiently in-plan, metadata untouched
+    assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5, dryRun = true) == 2)
+    assert(!new java.io.File(store.baseDir, "similarity.json").exists())
+    assert(!new java.io.File(store.baseDir, "seg-0/minhash").exists())
+    assert(!new java.io.File(store.baseDir, "maintenance").exists())
     // first persisted sweep == full sweep: copies removed, signatures stored
     assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 2)
     assert(store.liveCorpus().count() == 10)
@@ -213,6 +219,31 @@ class PipelineSpec extends AnyFunSuite {
       new SimilarityIndex(store, numHashes = 32).ensure()
     }
     assert(err.getMessage.contains("refusing to mix"))
+  }
+
+  test("signature index survives segment maintenance: merge drops old tables, ensure re-signatures") {
+    import graft.core.{CorpusDoc, IndexConfig}
+    import graft.index.{IndexStore, SimilarityIndex}
+    def doc(i: Int) = CorpusDoc(i.toLong, "r", s"p/$i", "a" * 40, "en",
+      s"uniq$i alpha$i beta$i gamma$i delta$i epsilon$i")
+    val store = new IndexStore(spark, TestSpark.tempDir("sweep-merge"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(spark.createDataset((0 until 6).map(doc)))
+    store.createSegment(spark.createDataset((6 until 12).map(doc)))
+    // dup-free corpus: sweep signatures both segments, deletes nothing
+    assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 0)
+    assert(store.stageDone(0, "minhash") && store.stageDone(1, "minhash"))
+    // LSM fold: old segment dirs (and their signature tables) disappear
+    val merged = store.mergeSmallSegments(maxDocs = 100)
+    assert(merged.contains(2))
+    assert(!new java.io.File(store.baseDir, "seg-0").exists())
+    // the merged segment is unsigned AND unswept — the next sweep
+    // signatures exactly it and nothing else, still finding no dups
+    val sim = new SimilarityIndex(store)
+    assert(sim.unsweptSegs(0.5) == Seq(2))
+    assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 0)
+    assert(store.stageDone(2, "minhash"))
+    assert(store.liveCorpus().count() == 12)
   }
 
   test("IvfIndex: persisted quantizer == per-call fit; incremental add; param guards") {
