@@ -434,7 +434,23 @@ object Dedup {
     // under-deleting incremental one
     val freshIds = sim.unsweptSegs(minJaccard)
     if (freshIds.isEmpty) return 0L
-    val buckets = lshBuckets(sim.liveSignatures(transientMissing = dryRun),
+    val pairs = persistedSweepPairs(store, sim, freshIds, minJaccard,
+      textField, numHashes, bands, transientSigs = dryRun)
+    val n = applySweep(store, pairs, dryRun, checkpointDir)
+    if (!dryRun) sim.markSwept(minJaccard)
+    n
+  }
+
+  /** Candidate generation + exact-Jaccard verification of the persisted
+    * sweep, exposed for plan audits: banded signature self-join restricted
+    * to pairs touching a fresh segment, then verification over candidate
+    * docs only (live corpus semi-joined BEFORE tokenizing, so the verify
+    * pass reads candidate rows, not the whole store). */
+  private[graft] def persistedSweepPairs(store: graft.index.IndexStore,
+      sim: graft.index.SimilarityIndex, freshIds: Seq[Int],
+      minJaccard: Double, textField: String, numHashes: Int, bands: Int,
+      transientSigs: Boolean): DataFrame = {
+    val buckets = lshBuckets(sim.liveSignatures(transientMissing = transientSigs),
       bands, numHashes / bands, keepCols = Seq("seg"))
     val fresh = buckets.filter(col("seg").isInCollection(freshIds))
       .select(col("band"), col("key"), col("doc_id").as("id_x"))
@@ -444,25 +460,19 @@ object Dedup {
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
-    // exact-Jaccard verification over candidate docs only: semi-join the
-    // live corpus BEFORE tokenizing, so the verify pass reads candidate
-    // rows, not the whole store
     val candIds = cand.select(col("id_a").as("doc_id"))
       .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
     val candDocs = store.liveCorpus().select(col("doc_id"), col(textField).as("text"))
       .join(candIds, Seq("doc_id"), "left_semi")
     val sets = shingles(candDocs, maxShingleDf = 0)
       .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("set"))
-    val pairs = cand
+    cand
       .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-    val n = applySweep(store, pairs, dryRun, checkpointDir)
-    if (!dryRun) sim.markSwept(minJaccard)
-    n
   }
 
   /** Shared tail of the sweep pipelines: pairs → connected components →

@@ -58,10 +58,44 @@ class IvfIndex private (val spark: SparkSession, val dir: String,
 
   /** Tombstone vectors by id (one-column DataFrame, castable to long like
     * the store's bulk delete — the id set is never collected). Cell tables
-    * are untouched; [[live]] filters at read time. */
+    * are untouched; [[live]] filters at read time. Run [[compact]] when
+    * the tombstone fraction makes the read-time anti-join worth folding. */
   def delete(ids: DataFrame): Unit =
     ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
       .write.mode(SaveMode.Append).parquet(tombstonePath.toString)
+
+  /** Folds tombstones into the cell tables: rewrites assignments from
+    * [[live]] (quantizer untouched — cells cannot drift), then drops the
+    * tombstone table. Crash-safe ordering like the text store's compact:
+    * build aside → move current out → move new in → delete leftovers; a
+    * crash at any point leaves either the original or both directories
+    * recoverable, and tombstones are only removed once the swapped-in
+    * tables no longer contain their rows. */
+  def compact(): Unit = {
+    val cur = new Path(s"$dir/assignments")
+    val next = new Path(s"$dir/assignments.compact")
+    val old = new Path(s"$dir/assignments.old")
+    // recovery from a crash between the two renames: assignments missing,
+    // .old holds the previous generation — restore it first
+    if (!fs.exists(cur) && fs.exists(old)) {
+      if (!fs.rename(old, cur))
+        sys.error(s"IvfIndex.compact: recovery rename $old -> $cur failed")
+    }
+    if (fs.exists(next)) fs.delete(next, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    live.repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(next.toString)
+    if (!fs.rename(cur, old))
+      sys.error(s"IvfIndex.compact: failed to move $cur aside")
+    if (!fs.rename(next, cur)) {
+      fs.rename(old, cur)
+      sys.error(s"IvfIndex.compact: failed to move $next into place (restored)")
+    }
+    fs.delete(old, true)
+    if (fs.exists(tombstonePath)) fs.delete(tombstonePath, true)
+    ()
+  }
 
   /** Top-k cosine neighbors from the persisted cells. When every query's
     * probe set is known small (the broadcast-guard bound), the probed cell

@@ -273,6 +273,20 @@ class PipelineSpec extends AnyFunSuite {
     val top1After = idx.topK(emb.filter($"vec_id" === 0), k = 1, nProbe = 4)
       .collect().head
     assert(top1After.getLong(1) != 100000L)
+    // compact folds tombstones into the cell tables: same answers, no
+    // tombstone table left, and the folded id can be re-added afterwards
+    val beforeRows = idx.assignments.count()
+    idx.compact()
+    assert(!new java.io.File(dir, "tombstones").exists())
+    assert(idx.assignments.count() == beforeRows - 1)
+    assert(key(idx.topK(q, k = 5, nProbe = 4)) ==
+      key(Similarity.ivfTopK(q, emb, k = 5, nLists = 8, nProbe = 4)),
+      "post-compact answers must equal a fresh fit over the original corpus")
+    idx.add(emb.filter($"vec_id" === 0)
+      .select(lit(100000L).as("vec_id"), $"embedding"))
+    assert(idx.topK(emb.filter($"vec_id" === 0), k = 1, nProbe = 4)
+      .collect().head.getLong(1) == 100000L,
+      "compact must not leave stale tombstones suppressing re-added ids")
     // nLists <= 0 derives the sqrt(n) default
     assert(Similarity.defaultNLists(10000) == 100)
   }
@@ -313,7 +327,21 @@ class PipelineSpec extends AnyFunSuite {
       "ann_ivf_persisted" -> IvfIndex
         .build(emb, TestSpark.tempDir("plan-ivf"), nLists = 8)
         .topK(emb.filter($"vec_id" < 4), k = 5, nProbe = 2),
-      "emb_dup_lsh" -> Similarity.embeddingDupPairs(emb, tau = 0.95, exact = false))
+      "emb_dup_lsh" -> Similarity.embeddingDupPairs(emb, tau = 0.95, exact = false),
+      "incremental_sweep_pairs" -> {
+        import graft.core.{CorpusDoc, IndexConfig}
+        import graft.index.{IndexStore, SimilarityIndex}
+        val store = new IndexStore(spark, TestSpark.tempDir("plan-sweep"),
+          IndexConfig(shardSpan = 64, fields = Seq("content")))
+        store.createSegment(spark.createDataset((0 until 8).map(i =>
+          CorpusDoc(i.toLong, "r", s"p/$i", "a" * 40, "en",
+            s"pa$i pb$i pc$i pd$i pe$i pf$i"))))
+        val sim = new SimilarityIndex(store)
+        sim.ensure()
+        Dedup.persistedSweepPairs(store, sim, freshIds = Seq(0),
+          minJaccard = 0.5, textField = "content", numHashes = 64,
+          bands = 16, transientSigs = false)
+      })
     plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
