@@ -68,9 +68,7 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Fails loudly on a parameter mismatch with the persisted config;
-    * writes NOTHING (safe on a read-only store). */
-  def validateParams(): Unit = readMeta().foreach { m =>
+  private def checkParams(m: Meta): Unit =
     require(m.textField == textField && m.numHashes == numHashes &&
       m.seed == seed && m.shingleK == shingleK,
       s"similarity index at ${store.baseDir} was built with " +
@@ -78,7 +76,10 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
         s"k=${m.shingleK}); refusing to mix signatures with " +
         s"(field=$textField, hashes=$numHashes, seed=$seed, k=$shingleK) " +
         "— re-derive under one parameter set")
-  }
+
+  /** Fails loudly on a parameter mismatch with the persisted config;
+    * writes NOTHING (safe on a read-only store). */
+  def validateParams(): Unit = readMeta().foreach(checkParams)
 
   /** The signature plan for one segment's stored corpus. */
   private def segSignaturePlan(segId: Int): DataFrame = {
@@ -93,8 +94,10 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
     * returns the segment ids that were signatured by THIS call. Existing
     * tables are never touched (stage markers) — the incremental contract. */
   def ensure(): Seq[Int] = {
-    validateParams()
-    if (readMeta().isEmpty) writeMeta(Set.empty, None)
+    readMeta() match {
+      case Some(m) => checkParams(m)
+      case None => writeMeta(Set.empty, None)
+    }
     val missing = store.segments.filterNot(s => store.stageDone(s.id, "minhash"))
     missing.foreach { seg =>
       store.runStage(seg.id, "minhash", Seq(s"seg-${seg.id}/corpus"), resume = true) {

@@ -434,24 +434,32 @@ object Dedup {
     // under-deleting incremental one
     val freshIds = sim.unsweptSegs(minJaccard)
     if (freshIds.isEmpty) return 0L
-    val pairs = persistedSweepPairs(store, sim, freshIds, minJaccard,
-      textField, numHashes, bands, transientSigs = dryRun)
-    val n = applySweep(store, pairs, dryRun, checkpointDir)
-    if (!dryRun) sim.markSwept(minJaccard)
-    n
+    // dry runs compute missing signatures transiently; the frame appears
+    // on BOTH sides of the banded self-join, so pin it in executor memory
+    // (write-free) rather than tokenize+hash the unsigned segments twice
+    val sigs = sim.liveSignatures(transientMissing = dryRun)
+    if (dryRun) sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = persistedSweepPairs(store, sigs, freshIds, minJaccard,
+        textField, numHashes, bands)
+      val n = applySweep(store, pairs, dryRun, checkpointDir)
+      if (!dryRun) sim.markSwept(minJaccard)
+      n
+    } finally {
+      if (dryRun) { sigs.unpersist(); () }
+    }
   }
 
   /** Candidate generation + exact-Jaccard verification of the persisted
-    * sweep, exposed for plan audits: banded signature self-join restricted
-    * to pairs touching a fresh segment, then verification over candidate
-    * docs only (live corpus semi-joined BEFORE tokenizing, so the verify
-    * pass reads candidate rows, not the whole store). */
+    * sweep over a prepared live-signature frame `sigs(doc_id, sig, seg)`,
+    * exposed for plan audits: banded signature self-join restricted to
+    * pairs touching a fresh segment, then verification over candidate docs
+    * only (live corpus semi-joined BEFORE tokenizing, so the verify pass
+    * reads candidate rows, not the whole store). */
   private[graft] def persistedSweepPairs(store: graft.index.IndexStore,
-      sim: graft.index.SimilarityIndex, freshIds: Seq[Int],
-      minJaccard: Double, textField: String, numHashes: Int, bands: Int,
-      transientSigs: Boolean): DataFrame = {
-    val buckets = lshBuckets(sim.liveSignatures(transientMissing = transientSigs),
-      bands, numHashes / bands, keepCols = Seq("seg"))
+      sigs: DataFrame, freshIds: Seq[Int],
+      minJaccard: Double, textField: String, numHashes: Int, bands: Int): DataFrame = {
+    val buckets = lshBuckets(sigs, bands, numHashes / bands, keepCols = Seq("seg"))
     val fresh = buckets.filter(col("seg").isInCollection(freshIds))
       .select(col("band"), col("key"), col("doc_id").as("id_x"))
     val all = buckets.select(col("band"), col("key"), col("doc_id").as("id_y"))

@@ -34,8 +34,27 @@ class IvfIndex private (val spark: SparkSession, val dir: String,
   private def fs =
     tombstonePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Raw stored assignments (including deleted rows — see [[live]]). */
-  def assignments: DataFrame = spark.read.parquet(s"$dir/assignments")
+  /** Restores the assignments dir from a [[compact]] crashed between its
+    * two renames (cur missing, .old holding the only copy). Invoked by
+    * EVERY reader and writer — without this, an `add()` on the crashed
+    * state would silently recreate `assignments/` holding only the new
+    * batch, and the next compact would delete the `.old` survivor. */
+  private def recoverIfNeeded(): Unit = {
+    val cur = new Path(s"$dir/assignments")
+    val old = new Path(s"$dir/assignments.old")
+    if (!fs.exists(cur) && fs.exists(old)) {
+      if (!fs.rename(old, cur))
+        sys.error(s"IvfIndex: recovery rename $old -> $cur failed")
+    }
+  }
+
+  /** Raw stored assignments (including deleted rows — see [[live]]).
+    * Explicit schema: a fully-compacted-away index is an EMPTY partitioned
+    * dir, where schema inference would throw. */
+  def assignments: DataFrame = {
+    recoverIfNeeded()
+    spark.read.schema(IvfIndex.assignSchema).parquet(s"$dir/assignments")
+  }
 
   /** Assignments minus tombstoned vectors — what queries score. The
     * anti-join is the same delete strategy as the text store's: cell
@@ -51,10 +70,12 @@ class IvfIndex private (val spark: SparkSession, val dir: String,
   /** Append new vectors `(vec_id, embedding)`, quantized against the
     * persisted centroids — touches only the new rows. Re-adding a deleted
     * id does NOT resurrect it (tombstones win); use fresh ids. */
-  def add(vectors: DataFrame): Unit =
+  def add(vectors: DataFrame): Unit = {
+    recoverIfNeeded()
     IvfIndex.assign(vectors, centroids)
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$dir/assignments")
+  }
 
   /** Tombstone vectors by id (one-column DataFrame, castable to long like
     * the store's bulk delete — the id set is never collected). Cell tables
@@ -75,12 +96,7 @@ class IvfIndex private (val spark: SparkSession, val dir: String,
     val cur = new Path(s"$dir/assignments")
     val next = new Path(s"$dir/assignments.compact")
     val old = new Path(s"$dir/assignments.old")
-    // recovery from a crash between the two renames: assignments missing,
-    // .old holds the previous generation — restore it first
-    if (!fs.exists(cur) && fs.exists(old)) {
-      if (!fs.rename(old, cur))
-        sys.error(s"IvfIndex.compact: recovery rename $old -> $cur failed")
-    }
+    recoverIfNeeded()
     if (fs.exists(next)) fs.delete(next, true)
     if (fs.exists(old)) fs.delete(old, true)
     live.repartition(col("cell"))
@@ -123,6 +139,17 @@ class IvfIndex private (val spark: SparkSession, val dir: String,
 
 object IvfIndex {
 
+  /** Assignment-table schema (cell is the partition column). */
+  private[pipeline] val assignSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType)))
+
   /** Nearest-centroid assignment as a pure Column plan (no MLlib at
     * query/maintenance time): argmin over the literal centroid set.
     * Output: (vec_id, cv, cell). */
@@ -148,11 +175,6 @@ object IvfIndex {
             seed: Long = 42L): IvfIndex = {
     val spark = corpus.sparkSession
     val (centroids, assigned) = Similarity.fitQuantizer(corpus, nLists, seed)
-    // a re-build starts a NEW index generation: tombstones of the previous
-    // generation must not suppress ids the fresh corpus legitimately holds
-    val ts = new Path(s"$dir/tombstones")
-    val fs0 = ts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs0.exists(ts)) fs0.delete(ts, true)
     assigned.repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$dir/assignments")
@@ -167,6 +189,14 @@ object IvfIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(json.toString.getBytes("UTF-8")) finally out.close()
+    // a re-build starts a NEW index generation: tombstones of the previous
+    // one must not suppress ids the fresh corpus legitimately holds.
+    // Deleted LAST: an interrupted build then leaves tombstones that only
+    // ever SUPPRESS (conservative) — deleting first would let a crash
+    // resurrect deleted ids against the old tables. (The build itself is
+    // not crash-atomic; re-run it after a failure.)
+    val ts = new Path(s"$dir/tombstones")
+    if (fs.exists(ts)) fs.delete(ts, true)
     open(spark, dir)
   }
 

@@ -338,9 +338,8 @@ class PipelineSpec extends AnyFunSuite {
             s"pa$i pb$i pc$i pd$i pe$i pf$i"))))
         val sim = new SimilarityIndex(store)
         sim.ensure()
-        Dedup.persistedSweepPairs(store, sim, freshIds = Seq(0),
-          minJaccard = 0.5, textField = "content", numHashes = 64,
-          bands = 16, transientSigs = false)
+        Dedup.persistedSweepPairs(store, sim.liveSignatures(), freshIds = Seq(0),
+          minJaccard = 0.5, textField = "content", numHashes = 64, bands = 16)
       })
     plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
