@@ -287,6 +287,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(idx.topK(emb.filter($"vec_id" === 0), k = 1, nProbe = 4)
       .collect().head.getLong(1) == 100000L,
       "compact must not leave stale tombstones suppressing re-added ids")
+    // crash between compact()'s two renames: assignments/ gone, .old holds
+    // the only copy — ANY access (add here) must restore before touching
+    // the directory, else the next compact would delete the survivor
+    val a = java.nio.file.Paths.get(dir, "assignments")
+    val o = java.nio.file.Paths.get(dir, "assignments.old")
+    java.nio.file.Files.move(a, o)
+    idx.add(emb.filter($"vec_id" === 1)
+      .select(lit(100001L).as("vec_id"), $"embedding"))
+    assert(java.nio.file.Files.exists(a) && !java.nio.file.Files.exists(o),
+      "access on the crashed state must restore assignments from .old")
+    assert(idx.assignments.count() == beforeRows + 1)
     // nLists <= 0 derives the sqrt(n) default
     assert(Similarity.defaultNLists(10000) == 100)
   }
