@@ -438,6 +438,18 @@ object PipelineQueries {
         .orderBy("id_a", "id_b"),
       Some(simhashSql(nearDupSql, 7))),
 
+    // the SECOND persisted signature kind: per-segment SimHash tables in
+    // the store layout. The pair scan reads stored 62-bit hashes (computed
+    // once per segment) and must STILL equal the oracle's brute-force
+    // Hamming scan over the same corpus — reuses the cached contract store
+    // (content == documents.text), so the gate costs no extra build.
+    QueryDef("q_dedup_simhash_persisted",
+      (s, dir) => Dedup.simHashPairsPersisted(
+          QueryRegistry.engineFor(s, dir).store, maxDist = 7)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      Some(simhashSql("SELECT doc_id, text FROM documents", 7))),
+
     // end-to-end sweep: dedup pipeline maintaining the index via the
     // distributed bulk delete — live corpus after the sweep vs the
     // recursive-CTE computation of "every doc minus non-keeper group members"

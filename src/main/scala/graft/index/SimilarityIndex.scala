@@ -133,13 +133,63 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
   /** Signatures of LIVE documents only — the same tombstone anti-join
     * semantics as [[IndexStore.liveCorpus]] (a doc deleted at or after its
     * segment's generation is filtered). */
-  def liveSignatures(transientMissing: Boolean = false): DataFrame = {
-    val sigs = signatures(transientMissing)
-    if (store.tombstoneCount() == 0L) return sigs
+  def liveSignatures(transientMissing: Boolean = false): DataFrame =
+    tombstoneFilter(signatures(transientMissing))
+
+  private def tombstoneFilter(df: DataFrame): DataFrame = {
+    if (store.tombstoneCount() == 0L) return df
     val ts = store.tombstoneAgg()
-    sigs.join(ts, sigs("doc_id") === ts("t_doc_id") &&
-        sigs("seg") <= ts("t_max_seg"), "left_anti")
+    df.join(ts, df("doc_id") === ts("t_doc_id") &&
+      df("seg") <= ts("t_max_seg"), "left_anti")
   }
+
+  // ---------- SimHash tables (same lifecycle as the MinHash ones) ----------
+
+  private val simHashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("simhash", LongType)))
+
+  private def segSimHashPlan(segId: Int): DataFrame =
+    graft.pipeline.Dedup.simHashes(
+      spark.read.parquet(store.segPath(segId, "corpus"))
+        .select(col("doc_id"), col(textField).as("text")))
+
+  /** Computes per-segment SimHash tables (`seg-<i>/simhash/`) for every
+    * committed segment lacking one — the second persisted signature kind.
+    * SimHash has no tunable parameters beyond the pinned analyzer/hash
+    * family, but it DOES depend on `textField`, which the shared
+    * similarity.json pins. */
+  def ensureSimHash(): Seq[Int] = {
+    readMeta() match {
+      case Some(m) => checkParams(m)
+      case None => writeMeta(Set.empty, None)
+    }
+    val missing = store.segments.filterNot(s => store.stageDone(s.id, "simhash"))
+    missing.foreach { seg =>
+      store.runStage(seg.id, "simhash", Seq(s"seg-${seg.id}/corpus"), resume = true) {
+        segSimHashPlan(seg.id)
+      }
+    }
+    missing.map(_.id)
+  }
+
+  /** All committed segments' SimHash values with `seg` provenance;
+    * `transientMissing` mirrors [[signatures]]. */
+  def simHashValues(transientMissing: Boolean = false): DataFrame =
+    store.segments.map { s =>
+      if (transientMissing && !store.stageDone(s.id, "simhash"))
+        segSimHashPlan(s.id).withColumn("seg", lit(s.id))
+      else
+        spark.read.schema(simHashSchema).parquet(store.segPath(s.id, "simhash"))
+          .withColumn("seg", lit(s.id))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        simHashSchema.add(StructField("seg", IntegerType))))
+
+  /** Live-document SimHash values (tombstone-filtered). */
+  def liveSimHashes(transientMissing: Boolean = false): DataFrame =
+    tombstoneFilter(simHashValues(transientMissing))
 
   /** Committed segments past the sweep watermark — the docs an incremental
     * sweep must pair against the whole live corpus. The watermark is ONLY

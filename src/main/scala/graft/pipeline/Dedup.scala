@@ -588,6 +588,23 @@ object Dedup {
                    maxBlockDf: Long = DefaultMaxBlockDf): DataFrame =
     simHashPairsFromHashes(simHashes(docs, textCol), maxDist, maxBlockDf)
 
+  /** SimHash near-dup pairs over an index store's LIVE corpus from the
+    * PERSISTED per-segment SimHash tables
+    * ([[graft.index.SimilarityIndex.ensureSimHash]]): hashes are computed
+    * once per segment and stored, so a repeated pair scan (the per-ingest
+    * dup-monitoring shape) reads longs instead of re-tokenizing and
+    * re-voting 62 bit sums over the corpus. Result identical to
+    * [[simHashPairs]] over the same live rows (pigeonhole-complete block
+    * keys → equals the brute-force Hamming scan). */
+  def simHashPairsPersisted(store: graft.index.IndexStore, maxDist: Int = 3,
+                            textField: String = "content",
+                            maxBlockDf: Long = DefaultMaxBlockDf): DataFrame = {
+    val sim = new graft.index.SimilarityIndex(store, textField)
+    sim.ensureSimHash()
+    simHashPairsFromHashes(sim.liveSimHashes().select(col("doc_id"), col("simhash")),
+      maxDist, maxBlockDf)
+  }
+
   private[graft] def simHashPairsFromHashes(hs: DataFrame, maxDist: Int,
                                                maxBlockDf: Long): DataFrame = {
     require(maxDist >= 1 && maxDist <= 7, "maxDist must be in [1, 7]")

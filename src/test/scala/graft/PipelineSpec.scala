@@ -246,6 +246,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.liveCorpus().count() == 12)
   }
 
+  test("persisted SimHash tables: stored-hash pair scan == direct computation, computed once") {
+    import graft.core.{CorpusDoc, IndexConfig}
+    import graft.index.{IndexStore, SimilarityIndex}
+    def doc(i: Int, body: String) =
+      CorpusDoc(i.toLong, "r", s"p/$i", "a" * 40, "en", body)
+    val store = new IndexStore(spark, TestSpark.tempDir("simhash-store"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(spark.createDataset((0 until 6).map(i =>
+      doc(i, s"qa$i qb$i qc$i qd$i qe$i qf$i"))))
+    // second segment holds a near-copy of doc 2 — the pair crosses segments
+    store.createSegment(spark.createDataset(Seq(
+      doc(100, "qa2 qb2 qc2 qd2 qe2 qf2 tail"),
+      doc(101, "zz1 zz2 zz3 zz4 zz5 zz6"))))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val direct = Dedup.simHashPairs(
+      store.liveCorpus().select($"doc_id", $"content".as("text")), maxDist = 7)
+    val persisted = Dedup.simHashPairsPersisted(store, maxDist = 7)
+    assert(key(persisted) == key(direct))
+    assert(key(persisted).nonEmpty, "the injected near-copy must pair")
+    // tables are written once: a second scan leaves the markers untouched
+    val marker = java.nio.file.Paths.get(store.baseDir,
+      "seg-0", "_checkpoints", "simhash.json")
+    val m0 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(key(Dedup.simHashPairsPersisted(store, maxDist = 7)) == key(direct))
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == m0)
+    // tombstoned docs drop out of the stored-hash scan like the direct one
+    store.delete(Seq(100L))
+    assert(key(Dedup.simHashPairsPersisted(store, maxDist = 7))
+      .forall { case (a, b, _) => a != 100L && b != 100L })
+    val sim = new SimilarityIndex(store)
+    assert(sim.liveSimHashes().filter($"doc_id" === 100L).isEmpty)
+  }
+
   test("IvfIndex: persisted quantizer == per-call fit; incremental add; param guards") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"embedding")
