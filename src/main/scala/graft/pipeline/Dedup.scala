@@ -595,13 +595,18 @@ object Dedup {
     * dup-monitoring shape) reads longs instead of re-tokenizing and
     * re-voting 62 bit sums over the corpus. Result identical to
     * [[simHashPairs]] over the same live rows (pigeonhole-complete block
-    * keys → equals the brute-force Hamming scan). */
+    * keys → equals the brute-force Hamming scan). `readOnly = true` writes
+    * nothing: missing tables are computed transiently in-plan (recomputed
+    * per action — the audit shape for a store the caller cannot write). */
   def simHashPairsPersisted(store: graft.index.IndexStore, maxDist: Int = 3,
                             textField: String = "content",
-                            maxBlockDf: Long = DefaultMaxBlockDf): DataFrame = {
+                            maxBlockDf: Long = DefaultMaxBlockDf,
+                            readOnly: Boolean = false): DataFrame = {
     val sim = new graft.index.SimilarityIndex(store, textField)
-    sim.ensureSimHash()
-    simHashPairsFromHashes(sim.liveSimHashes().select(col("doc_id"), col("simhash")),
+    if (readOnly) sim.validateField() else { sim.ensureSimHash(); () }
+    simHashPairsFromHashes(
+      sim.liveSimHashes(transientMissing = readOnly)
+        .select(col("doc_id"), col("simhash")),
       maxDist, maxBlockDf)
   }
 

@@ -278,6 +278,22 @@ class PipelineSpec extends AnyFunSuite {
       .forall { case (a, b, _) => a != 100L && b != 100L })
     val sim = new SimilarityIndex(store)
     assert(sim.liveSimHashes().filter($"doc_id" === 100L).isEmpty)
+    // the SimHash side is decoupled from MinHash params: a later MinHash
+    // ensure with NON-default params pins its own block without conflict,
+    // and the simhash scan keeps working
+    new SimilarityIndex(store, numHashes = 32).ensure()
+    assert(key(Dedup.simHashPairsPersisted(store, maxDist = 7)) ==
+      key(Dedup.simHashPairs(
+        store.liveCorpus().select($"doc_id", $"content".as("text")), maxDist = 7)))
+    // read-only scan on a VIRGIN store: correct result, zero writes
+    val ro = new IndexStore(spark, TestSpark.tempDir("simhash-ro"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    ro.createSegment(spark.createDataset(Seq(
+      doc(1, "ra rb rc rd re rf"), doc(2, "ra rb rc rd re rf tail"))))
+    assert(key(Dedup.simHashPairsPersisted(ro, maxDist = 7, readOnly = true))
+      .exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(!new java.io.File(ro.baseDir, "similarity.json").exists())
+    assert(!new java.io.File(ro.baseDir, "seg-0/simhash").exists())
   }
 
   test("IvfIndex: persisted quantizer == per-call fit; incremental add; param guards") {
