@@ -62,8 +62,14 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
     val n = new ObjectMapper().readTree(txt)
     val swept = Option(n.get("sweptSegs")).map(a =>
       (0 until a.size()).map(i => a.get(i).asInt()).toSet).getOrElse(Set.empty)
+    // legacy layout (first generation of this file) kept the MinHash
+    // params flat at the top level — adopt them as the minhash block, or a
+    // legacy store would silently lose its parameter guard and get
+    // re-pinned to whatever the next caller's defaults are
     val mh = Option(n.get("minhash")).map(b =>
-      (b.get("numHashes").asInt(), b.get("seed").asLong(), b.get("shingleK").asInt()))
+        (b.get("numHashes").asInt(), b.get("seed").asLong(), b.get("shingleK").asInt()))
+      .orElse(Option(n.get("numHashes")).map(nh =>
+        (nh.asInt(), n.get("seed").asLong(), n.get("shingleK").asInt())))
     Some(Meta(n.get("textField").asText(), mh, swept,
       Option(n.get("sweptMinJaccard")).map(_.asDouble())))
   }

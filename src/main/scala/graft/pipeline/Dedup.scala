@@ -604,10 +604,14 @@ object Dedup {
                             readOnly: Boolean = false): DataFrame = {
     val sim = new graft.index.SimilarityIndex(store, textField)
     if (readOnly) sim.validateField() else { sim.ensureSimHash(); () }
-    simHashPairsFromHashes(
-      sim.liveSimHashes(transientMissing = readOnly)
-        .select(col("doc_id"), col("simhash")),
-      maxDist, maxBlockDf)
+    val hs0 = sim.liveSimHashes(transientMissing = readOnly)
+      .select(col("doc_id"), col("simhash"))
+    // the hash frame feeds the hot-bucket aggregation AND both sides of
+    // the block self-join; in read-only mode it may embed the full
+    // tokenize+vote plan for unsigned segments — pin it once (write-free,
+    // executor memory/disk) instead of recomputing it per side
+    val hs = if (readOnly) hs0.localCheckpoint(true) else hs0
+    simHashPairsFromHashes(hs, maxDist, maxBlockDf)
   }
 
   private[graft] def simHashPairsFromHashes(hs: DataFrame, maxDist: Int,

@@ -37,8 +37,11 @@ object IncSweepDrill {
 
     val work = java.nio.file.Files.createTempDirectory("graft-incdrill").toString
     val base = CorpusGen.generate(spark, n, seed = 42, numRepos = 200)
+    // dup id spaces start past the base ids at ANY n (fixed offsets
+    // would collide once n reaches them)
+    val off = math.max(n, 10000000L)
     val dups1 = base.filter($"doc_id" % 10 === 0)
-      .map(d => d.copy(doc_id = d.doc_id + 10000000L,
+      .map(d => d.copy(doc_id = d.doc_id + off,
         content = d.content + " graftdup graftdup"))
     base.unionByName(dups1).write.mode("overwrite").parquet(s"$work/corpus1")
     val corpus1 = spark.read.parquet(s"$work/corpus1").as[CorpusDoc]
@@ -55,7 +58,7 @@ object IncSweepDrill {
 
     // 1% dup wave: near-copies of every 100th base doc, new ids
     val dups2 = base.filter($"doc_id" % 100 === 0)
-      .map(d => d.copy(doc_id = d.doc_id + 20000000L,
+      .map(d => d.copy(doc_id = d.doc_id + 2 * off,
         content = d.content + " graftdup2 graftdup2"))
     dups2.write.mode("overwrite").parquet(s"$work/dups2")
     val wave = spark.read.parquet(s"$work/dups2").as[CorpusDoc]

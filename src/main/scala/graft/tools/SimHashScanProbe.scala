@@ -34,8 +34,11 @@ object SimHashScanProbe {
     val work = java.nio.file.Files.createTempDirectory("graft-shprobe").toString
     try {
       val base = CorpusGen.generate(spark, n, seed = 42, numRepos = 200)
+      // dup id space starts past the base ids at ANY n (a fixed 10M
+      // offset would collide once n reaches it)
+      val off = math.max(n, 10000000L)
       val dups = base.filter($"doc_id" % 10 === 0)
-        .map(d => d.copy(doc_id = d.doc_id + 10000000L,
+        .map(d => d.copy(doc_id = d.doc_id + off,
           content = d.content + " graftdup graftdup"))
       base.unionByName(dups).write.mode("overwrite").parquet(s"$work/corpus")
       val store = new IndexStore(spark, s"$work/idx", IndexConfig(fields = Seq("content")))

@@ -33,8 +33,9 @@ object SweepDrill {
 
     val base = CorpusGen.generate(spark, n, seed = 42, numRepos = 200)
     // near-copies of every 10th doc, ids offset past the corpus
+    val off = math.max(n, 10000000L) // past the base ids at ANY n
     val dups = base.filter($"doc_id" % 10 === 0)
-      .map(d => d.copy(doc_id = d.doc_id + 10000000L,
+      .map(d => d.copy(doc_id = d.doc_id + off,
         content = d.content + " graftdup graftdup"))
     val corpus = base.unionByName(dups)
     val work = java.nio.file.Files.createTempDirectory("graft-drill").toString

@@ -246,6 +246,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.liveCorpus().count() == 12)
   }
 
+  test("legacy flat similarity.json keeps its MinHash parameter guard after migration") {
+    import graft.core.{CorpusDoc, IndexConfig}
+    import graft.index.{IndexStore, SimilarityIndex}
+    val store = new IndexStore(spark, TestSpark.tempDir("legacy-meta"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(spark.createDataset(Seq(
+      CorpusDoc(1L, "r", "p/1", "a" * 40, "en", "la lb lc ld le lf"))))
+    // first-generation layout: params flat at the top level
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store.baseDir, "similarity.json"),
+      """{"textField":"content","numHashes":32,"seed":7,"shingleK":5,"sweptSegs":[]}""")
+    // mismatched params must still fail loudly (no silent re-pin)
+    val err = intercept[IllegalArgumentException] {
+      new SimilarityIndex(store).ensure()
+    }
+    assert(err.getMessage.contains("refusing to mix"))
+    // matching params adopt the legacy block and proceed
+    assert(new SimilarityIndex(store, numHashes = 32, seed = 7L, shingleK = 5)
+      .ensure() == Seq(0))
+  }
+
   test("persisted SimHash tables: stored-hash pair scan == direct computation, computed once") {
     import graft.core.{CorpusDoc, IndexConfig}
     import graft.index.{IndexStore, SimilarityIndex}
