@@ -332,6 +332,22 @@ object PipelineQueries {
         store
       })))
 
+  /** One SWEPT persisted vector index per sf dir: built from the
+    * dup-injected embeddings, then `IvfIndex.sweep` tombstones every
+    * non-keeper of each cosine-≥-0.95 component — the vector-index
+    * analogue of the text store's dedup sweep. */
+  private val ivfSweepCache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
+  private val ivfSweepLock = new Object
+  private def sweptIvf(s: SparkSession, dir: String): IvfIndex =
+    ivfSweepCache.get(dir).getOrElse(ivfSweepLock.synchronized(
+      ivfSweepCache.getOrElseUpdate(dir, {
+        val idx = IvfIndex.build(dupEmbeddings(s, dir),
+          java.nio.file.Files.createTempDirectory("graft-ivfsweep").toString,
+          nLists = 16, seed = 42L)
+        idx.sweep(tau = 0.95, exact = true)
+        idx
+      })))
+
   /** Driver-visible recall gate for an approximate ANN operator: runs the
     * ANN plan AND the exact brute-force plan over the same 8 query vectors
     * in one job, semi-joins the exact top-5 pairs against the approximate
@@ -478,6 +494,26 @@ object PipelineQueries {
               |FROM dup a JOIN dup b ON a.vec_id < b.vec_id
               |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
               |ORDER BY id_a, id_b""".stripMargin)),
+
+    // the vector-index sweep: near-dup vectors (cosine >= 0.95) clustered
+    // and tombstoned from the PERSISTED IVF index; surviving vec_ids must
+    // equal the recursive-closure oracle over exact cosine pairs
+    QueryDef("q_ann_index_sweep",
+      (s, dir) => sweptIvf(s, dir).live
+        .select(col("vec_id")).orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE dup AS ($dupEmbSql),
+              |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |      FROM dup a JOIN dup b ON a.vec_id < b.vec_id
+              |      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              |          UNION SELECT id_b, id_a FROM p),
+              |reach AS (SELECT DISTINCT src AS id, src AS root FROM edges
+              |          UNION
+              |          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+              |victims AS (SELECT id FROM (SELECT id, min(root) AS keep FROM reach GROUP BY id)
+              |            WHERE id <> keep)
+              |SELECT vec_id FROM dup WHERE vec_id NOT IN (SELECT id FROM victims)
+              |ORDER BY vec_id""".stripMargin)),
 
     QueryDef("q_ann_brute_cosine",
       (s, dir) => {

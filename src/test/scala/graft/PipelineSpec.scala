@@ -373,6 +373,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.defaultNLists(10000) == 100)
   }
 
+  test("IvfIndex.sweep: near-dup vectors tombstoned, LSH path == exact path") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // inject exact copies of every 20th vector (higher ids = victims)
+    val dup = emb.unionByName(emb.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val nCopies = emb.filter($"vec_id" % 20 === 0).count()
+    def buildIdx() = IvfIndex.build(dup, TestSpark.tempDir("ivf-sweep"), nLists = 8)
+    val idx = buildIdx()
+    // dry run counts without deleting
+    assert(idx.sweep(tau = 0.95, dryRun = true, exact = true) >= nCopies)
+    assert(idx.live.count() == dup.count())
+    val swept = idx.sweep(tau = 0.95, exact = true)
+    assert(swept >= nCopies)
+    val live = idx.live.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live.count(_ >= 100000L) == 0, "every injected copy must be swept")
+    // the LSH-bucketed scale path agrees with the exact path on this corpus
+    val idx2 = buildIdx()
+    idx2.sweep(tau = 0.95)
+    val live2 = idx2.live.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live2 == live, s"LSH sweep diverged: ${(live -- live2) ++ (live2 -- live)}")
+  }
+
   test("ANN broadcast guard: oversized query sets drop the broadcast hint, same answer") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
