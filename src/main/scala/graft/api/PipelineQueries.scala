@@ -143,15 +143,24 @@ object PipelineQueries {
        |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The connected-components closure CTEs over a pair relation
+    * `pairsRel(id_a, id_b)` — ONE definition for every oracle that
+    * clusters pairs (`edges$sfx` both directions → `reach$sfx` transitive
+    * closure → `victims$sfx` non-keepers, keeper = component min). */
+  private def closureCtes(pairsRel: String, sfx: String = ""): String =
+    s"""edges$sfx AS (SELECT id_a AS src, id_b AS dst FROM $pairsRel
+       |          UNION SELECT id_b, id_a FROM $pairsRel),
+       |reach$sfx AS (SELECT DISTINCT src AS id, src AS root FROM edges$sfx
+       |          UNION
+       |          SELECT e.dst, r.root FROM reach$sfx r JOIN edges$sfx e ON e.src = r.id),
+       |victims$sfx AS (SELECT id FROM (SELECT id, min(root) AS keep FROM reach$sfx GROUP BY id)
+       |            WHERE id <> keep)""".stripMargin
+
   /** SQL twin of Dedup.dupGroups over the Jaccard pairs: connected
     * components via recursive transitive closure, keep_id = component min. */
   private def groupsSql(docs: String, minJ: Double): String =
     s"""WITH RECURSIVE ${jaccardCtes(docs, minJ)},
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-       |          UNION SELECT id_b, id_a FROM p),
-       |reach AS (SELECT DISTINCT src AS id, src AS root FROM edges
-       |          UNION
-       |          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
+       |${closureCtes("p")}
        |SELECT id AS doc_id, min(root) AS keep_id FROM reach
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
@@ -234,13 +243,7 @@ object PipelineQueries {
   private def survivorsSelect(docs: String, minJ: Double, maxShingleDf: Long,
                               selectCols: String, sfx: String = ""): String =
     s"""WITH RECURSIVE ${jaccardCtes(docs, minJ, maxShingleDf, sfx)},
-       |edges$sfx AS (SELECT id_a AS src, id_b AS dst FROM p$sfx
-       |          UNION SELECT id_b, id_a FROM p$sfx),
-       |reach$sfx AS (SELECT DISTINCT src AS id, src AS root FROM edges$sfx
-       |          UNION
-       |          SELECT e.dst, r.root FROM reach$sfx r JOIN edges$sfx e ON e.src = r.id),
-       |victims$sfx AS (SELECT id FROM (SELECT id, min(root) AS keep FROM reach$sfx GROUP BY id)
-       |            WHERE id <> keep)
+       |${closureCtes(s"p$sfx", sfx)}
        |SELECT $selectCols FROM docs$sfx WHERE doc_id NOT IN (SELECT id FROM victims$sfx)""".stripMargin
 
   /** SQL twin of the post-sweep live corpus. */
@@ -505,13 +508,7 @@ object PipelineQueries {
               |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
               |      FROM dup a JOIN dup b ON a.vec_id < b.vec_id
               |      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95),
-              |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-              |          UNION SELECT id_b, id_a FROM p),
-              |reach AS (SELECT DISTINCT src AS id, src AS root FROM edges
-              |          UNION
-              |          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
-              |victims AS (SELECT id FROM (SELECT id, min(root) AS keep FROM reach GROUP BY id)
-              |            WHERE id <> keep)
+              |${closureCtes("p")}
               |SELECT vec_id FROM dup WHERE vec_id NOT IN (SELECT id FROM victims)
               |ORDER BY vec_id""".stripMargin)),
 

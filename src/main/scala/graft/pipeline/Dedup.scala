@@ -497,30 +497,38 @@ object Dedup {
     * unequal numbers of partitions" from a sweep-pair plan that every
     * normal action executes fine). */
   private def applySweep(store: graft.index.IndexStore, pairs: DataFrame,
-                         dryRun: Boolean, checkpointDir: Option[String]): Long = {
-    // A count-only audit (dryRun with no explicit dir) must not WRITE into
-    // anything — an auditor may have read-only access to the store — so it
-    // pins with localCheckpoint. Every applying sweep pins as parquet: the
-    // pins survive executor loss, and the audit trade-off does not apply
-    // (an applying sweep writes tombstones anyway). A killed applying
-    // sweep can leave a graft-sweep-* dir behind; it is inert and safe to
-    // delete.
+                         dryRun: Boolean, checkpointDir: Option[String]): Long =
+    applySweepTo(store.spark, store.baseDir, store.delete, pairs, dryRun,
+      checkpointDir)
+
+  /** The sweep tail generalized over the index being maintained: pairs →
+    * components → pinned victims → bulk delete. Shared by the text store
+    * and [[IvfIndex.sweep]] so the crash/dry-run discipline cannot drift:
+    * a count-only audit (dryRun with no explicit dir) must not WRITE into
+    * anything — an auditor may have read-only access — so it pins with
+    * localCheckpoint; every applying sweep pins as parquet (survives
+    * executor loss; an applying sweep writes tombstones anyway). A killed
+    * applying sweep can leave a graft-sweep-* dir behind; it is inert and
+    * safe to delete. */
+  private[pipeline] def applySweepTo(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String, deleteFn: DataFrame => Unit, pairs: DataFrame,
+      dryRun: Boolean, checkpointDir: Option[String]): Long = {
     if (dryRun && checkpointDir.isEmpty)
       return dupGroups(pairs)
         .filter(col("doc_id") =!= col("keep_id"))
         .count()
-    val runDir = s"${checkpointDir.getOrElse(s"${store.baseDir}/maintenance")}" +
+    val runDir = s"${checkpointDir.getOrElse(s"$baseDir/maintenance")}" +
       s"/graft-sweep-${java.util.UUID.randomUUID().toString.take(8)}"
-    // pin the victim set: delete()'s semi-join and the count below must not
-    // re-run the whole dedup pipeline (and a concurrent-ish re-read of the
-    // store inside delete() must see a FIXED victim list)
+    // pin the victim set: the delete's semi-join and the count below must
+    // not re-run the whole dedup pipeline (and a concurrent-ish re-read of
+    // the index inside the delete must see a FIXED victim list)
     val victims0 = dupGroups(pairs, checkpointDir = Some(runDir))
       .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
     victims0.write.mode("overwrite").parquet(s"$runDir/victims")
-    val victims = store.spark.read.parquet(s"$runDir/victims")
+    val victims = spark.read.parquet(s"$runDir/victims")
     try {
       val n = victims.count()
-      if (!dryRun && n > 0) store.delete(victims)
+      if (!dryRun && n > 0) deleteFn(victims)
       n
     } finally {
       // the sweep is the consuming caller of dupGroups' checkpoint contract:
@@ -528,7 +536,7 @@ object Dedup {
       // datasets (edges / label rounds / victims) are garbage — remove ONLY
       // that subdirectory, never the caller's directory itself
       val path = new org.apache.hadoop.fs.Path(runDir)
-      val fs = path.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(path, true); ()
     }
   }

@@ -90,30 +90,19 @@ class IvfIndex private (val spark: SparkSession, val dir: String,
     * (LSH-bucketed by default; `exact = true` runs the all-pairs oracle
     * shape for tiny corpora) → connected components → tombstone every
     * non-keeper (smallest vec_id per component). Victim ids stay a
-    * DataFrame end to end; the component rounds and the victim pin are
-    * parquet under `$dir/maintenance/` (same crash discipline as
-    * [[graft.pipeline.Dedup.sweepIndexPersisted]]). Returns the number of
-    * vectors swept; `dryRun` counts without deleting. */
+    * DataFrame end to end; the component rounds and the victim pin ride
+    * the SAME shared sweep tail as the text store
+    * ([[graft.pipeline.Dedup]] `applySweepTo`): parquet pins under
+    * `$dir/maintenance/` for applying sweeps, a write-free localCheckpoint
+    * audit for `dryRun` with no explicit dir. Returns the number of
+    * vectors swept. */
   def sweep(tau: Double, dryRun: Boolean = false, exact: Boolean = false,
-            nBits: Int = 16, bands: Int = 4, seed: Long = 42L): Long = {
+            nBits: Int = 16, bands: Int = 4, seed: Long = 42L,
+            checkpointDir: Option[String] = None): Long = {
     val vecs = live.select(col("vec_id"), col("cv").as("embedding"))
     val pairs = Similarity.embeddingDupPairs(vecs, tau, exact = exact,
       nBits = nBits, bands = bands, dim = centroids.head.length, seed = seed)
-    val runDir = s"$dir/maintenance/graft-sweep-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    try {
-      val victims0 = Dedup.dupGroups(pairs, checkpointDir = Some(runDir))
-        .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
-      victims0.write.mode(SaveMode.Overwrite).parquet(s"$runDir/victims")
-      val victims = spark.read.parquet(s"$runDir/victims")
-      val n = victims.count()
-      if (!dryRun && n > 0) delete(victims)
-      n
-    } finally {
-      val p = new Path(runDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      ()
-    }
+    Dedup.applySweepTo(spark, dir, delete, pairs, dryRun, checkpointDir)
   }
 
   /** Folds tombstones into the cell tables: rewrites assignments from

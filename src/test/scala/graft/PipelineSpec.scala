@@ -382,9 +382,11 @@ class PipelineSpec extends AnyFunSuite {
     val nCopies = emb.filter($"vec_id" % 20 === 0).count()
     def buildIdx() = IvfIndex.build(dup, TestSpark.tempDir("ivf-sweep"), nLists = 8)
     val idx = buildIdx()
-    // dry run counts without deleting
+    // dry run counts without deleting AND without writing (no maintenance
+    // dir appears — the shared sweep tail's read-only audit branch)
     assert(idx.sweep(tau = 0.95, dryRun = true, exact = true) >= nCopies)
     assert(idx.live.count() == dup.count())
+    assert(!new java.io.File(idx.dir, "maintenance").exists())
     val swept = idx.sweep(tau = 0.95, exact = true)
     assert(swept >= nCopies)
     val live = idx.live.select("vec_id").collect().map(_.getLong(0)).toSet
