@@ -17,6 +17,22 @@ import org.apache.spark.sql.SparkSession
   *     criterion: efficiency = (throughput_4N / throughput_N) / 4 ≥ 0.8;
   *   - a peak level (default 32 = all cores) for absolute throughput.
   *
+  * NOISE PROTOCOL (round 5): this shared VM drifts ±30% over minutes, so
+  * blocks of repeated builds at one level followed by blocks at another
+  * bake the drift directly into the efficiency ratio (BENCH_r04 recorded
+  * 0.762 on an untouched build path; the same code measured 0.912 and
+  * 0.835 on other days). The levels are therefore INTERLEAVED: each rep
+  * builds once at every level in its own fresh session, with the level
+  * order alternating rep-to-rep (low→high, then high→low) so slow drift
+  * lands symmetrically on both criterion levels. The headline efficiency
+  * is the MEDIAN OF PER-REP PAIRED RATIOS — each rep's N and 4N builds run
+  * within ~3 minutes of each other, so a per-rep ratio sees the same VM
+  * state on both sides and drift cancels; the median then rejects outlier
+  * reps. The cross-rep efficiency-of-medians is reported alongside, and
+  * every sample is printed. Queries get the same treatment: each rep times
+  * each query `GRAFT_BENCH_QUERY_REPS` times (median per rep), and the
+  * reported latency is the median of per-rep medians with samples listed.
+  *
   * Why N=2: this VM's cores share one memory system, and the build is
   * string/alloc-heavy — measured CPU time for the identical build inflates
   * ~2.6x from 8→32 threads (memory-stall cycles), while a pure-CPU probe
@@ -64,62 +80,73 @@ object Bench {
     ("prefix", "im", true, SearchMode.Or)
   )
 
-  final case class LevelResult(cores: Int, buildSecs: Seq[Double], docsPerSec: Double,
-                               queryMs: Map[String, Double],
-                               topDocs: Map[String, Seq[Long]]) {
+  private val allQueryNames: Seq[String] = queryMix.map(_._1) :+ "wand3_distributed"
+
+  /** One interleaved rep at one level: a single timed build plus per-query
+    * median-of-`queryReps` latencies, in a fresh session. */
+  private final case class RepResult(buildSec: Double,
+                                     queryMs: Map[String, Double],
+                                     topDocs: Map[String, Seq[Long]])
+
+  /** Per-level aggregation over the interleaved reps. */
+  private final case class LevelResult(cores: Int, reps: Seq[RepResult]) {
+    def buildSecs: Seq[Double] = reps.map(_.buildSec)
     def buildSec: Double = median(buildSecs)
+    def queryMsSamples(name: String): Seq[Double] = reps.map(_.queryMs(name))
+    def queryMs(name: String): Double = median(queryMsSamples(name))
+    def topDocs(name: String): Seq[Long] = reps.head.topDocs(name)
   }
 
-  /** Builds the identical corpus `reps` times at this level and keeps the
-    * MEDIAN build time — a single timed pass on this shared VM carries ±30%
-    * noise (BENCH.md), so the scaling criterion is computed from medians. */
-  private def runLevel(cores: Int, corpusPath: String, nDocs: Long,
-                       indexBase: String, warmupPath: String,
-                       reps: Int): LevelResult = {
+  /** Runs ONE rep at `cores`: fresh session, small untimed warm-up build
+    * (per-session lazy init + JIT on the first rep), one timed build of the
+    * shared corpus, then the query mix (one warm pass, `queryReps` timed
+    * passes, per-query median). Rank evidence (top-10 docIDs) is captured
+    * per rep and later asserted identical across every rep and level. */
+  private def runRep(cores: Int, corpusPath: String, indexBase: String,
+                     warmupPath: String, queryReps: Int): RepResult = {
     val spark = session(cores)
     try {
       import spark.implicits._
-      // untimed warm-up build: JIT-compiles the whole tokenize/encode path so
-      // the first timed level isn't penalized by cold code
       locally {
-        val w = new IndexStore(spark, indexBase + ".warm", IndexConfig(shardSpan = 1 << 14))
+        val warmBase = indexBase + ".warm"
+        val wPath = new org.apache.hadoop.fs.Path(warmBase)
+        val wfs = wPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (wfs.exists(wPath)) wfs.delete(wPath, true)
+        val w = new IndexStore(spark, warmBase, IndexConfig(shardSpan = 1 << 14))
         w.createSegment(spark.read.parquet(warmupPath).as[graft.core.CorpusDoc])
       }
       val corpus = spark.read.parquet(corpusPath).as[graft.core.CorpusDoc]
       val fsPath = new org.apache.hadoop.fs.Path(indexBase)
       val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val buildSecs = (0 until math.max(reps, 1)).map { _ =>
-        if (fs.exists(fsPath)) fs.delete(fsPath, true)
-        val store0 = new IndexStore(spark, indexBase, IndexConfig(shardSpan = 1 << 14))
-        val t0 = System.nanoTime()
-        store0.createSegment(corpus)
-        (System.nanoTime() - t0) / 1e9
-      }
+      if (fs.exists(fsPath)) fs.delete(fsPath, true)
+      val store0 = new IndexStore(spark, indexBase, IndexConfig(shardSpan = 1 << 14))
+      val t0 = System.nanoTime()
+      store0.createSegment(corpus)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+
       val store = new IndexStore(spark, indexBase, IndexConfig(shardSpan = 1 << 14))
-      val buildSec = median(buildSecs)
       val engine = new SearchEngine(store)
-      // warm-up pass, then timed pass
       val lat = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val tops = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+      def timeQuery(name: String, run: () => Array[org.apache.spark.sql.Row]): Unit = {
+        tops(name) = run().map(_.getLong(0)).toSeq // warm pass doubles as rank evidence
+        lat(name) = median((0 until math.max(queryReps, 1)).map { _ =>
+          val q0 = System.nanoTime()
+          run()
+          (System.nanoTime() - q0) / 1e6
+        })
+      }
       queryMix.foreach { case (name, q, bw, mode) =>
-        engine.search(q, Seq("content"), bw, 10, mode).collect()
-        val q0 = System.nanoTime()
-        val hits = engine.search(q, Seq("content"), bw, 10, mode).collect()
-        lat(name) = (System.nanoTime() - q0) / 1e6
-        tops(name) = hits.map(_.getLong(0)).toSeq
+        timeQuery(name, () => engine.search(q, Seq("content"), bw, 10, mode).collect())
       }
       // distributed-WAND latency (fast path disabled): same store, same query
       locally {
         val distEngine = new SearchEngine(new IndexStore(spark, indexBase,
           IndexConfig(shardSpan = 1 << 14, driverWandMaxBytes = 0)))
-        val q = "import class return"
-        distEngine.search(q, Seq("content"), k = 10, mode = SearchMode.Wand).collect()
-        val q0 = System.nanoTime()
-        val hits = distEngine.search(q, Seq("content"), k = 10, mode = SearchMode.Wand).collect()
-        lat("wand3_distributed") = (System.nanoTime() - q0) / 1e6
-        tops("wand3_distributed") = hits.map(_.getLong(0)).toSeq
+        timeQuery("wand3_distributed", () => distEngine.search(
+          "import class return", Seq("content"), k = 10, mode = SearchMode.Wand).collect())
       }
-      LevelResult(cores, buildSecs, nDocs / buildSec, lat.toMap, tops.toMap)
+      RepResult(buildSec, lat.toMap, tops.toMap)
     } finally spark.stop()
   }
 
@@ -147,8 +174,12 @@ object Bench {
       // warm and timed passes measure the same work
       val sweepStore = {
         import spark.implicits._
+        // dup ids start past the base ids at ANY corpus size (a fixed
+        // offset would collide with base doc_ids once nDocs reached it,
+        // silently corrupting the measured sweep — same rule as the drills)
+        val off = math.max(nDocs, 10000000L)
         val dups = docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"),
+          .select((col("doc_id") + off).as("doc_id"),
             concat(col("text"), lit(" graftdup graftdup")).as("text"))
         val corpus = docs.unionByName(dups)
           .select(col("doc_id"), lit("r").as("repo"),
@@ -193,8 +224,9 @@ object Bench {
     val nLow = sys.env.getOrElse("GRAFT_BENCH_CORES_LOW", "2").toInt
     val nHigh = sys.env.getOrElse("GRAFT_BENCH_CORES_HIGH", "8").toInt
     val nPeak = sys.env.getOrElse("GRAFT_BENCH_CORES_PEAK", "32").toInt
-    // ≥3 reps per criterion level; the efficiency is computed from medians
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
+    // ≥5 interleaved reps; the efficiency is the median of per-rep ratios
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt
+    val queryReps = sys.env.getOrElse("GRAFT_BENCH_QUERY_REPS", "5").toInt
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
     try {
 
@@ -209,66 +241,111 @@ object Bench {
       } finally s.stop()
     }
 
-    val low = runLevel(nLow, s"$work/corpus", nDocs, s"$work/idx-$nLow", s"$work/warmup", reps)
-    val high = runLevel(nHigh, s"$work/corpus", nDocs, s"$work/idx-$nHigh", s"$work/warmup", reps)
-    // the peak row gets the same median-of-reps treatment as the criterion
-    // levels: a single 32-thread pass on this VM carries ±30% noise
-    val peak = runLevel(nPeak, s"$work/corpus", nDocs, s"$work/idx-$nPeak", s"$work/warmup", reps)
-    val pipeline = pipelineBench(nPeak, sfDir)
-    val efficiency = (high.docsPerSec / low.docsPerSec) / (nHigh.toDouble / nLow)
-    val rankIdentical = (queryMix.map(_._1) :+ "wand3_distributed").forall { name =>
-      low.topDocs(name) == high.topDocs(name) && high.topDocs(name) == peak.topDocs(name)
+    // interleaved A/B/A ladder: every rep builds once at every level; the
+    // level order flips on odd reps so monotonic drift within a rep hits
+    // the criterion levels symmetrically
+    val levels = Seq(nLow, nHigh, nPeak)
+    val byLevel = scala.collection.mutable.Map.empty[Int, Vector[RepResult]]
+      .withDefaultValue(Vector.empty)
+    (0 until math.max(reps, 1)).foreach { rep =>
+      val order = if (rep % 2 == 0) levels else levels.reverse
+      order.foreach { cores =>
+        val r = runRep(cores, s"$work/corpus", s"$work/idx-$cores",
+          s"$work/warmup", queryReps)
+        byLevel(cores) = byLevel(cores) :+ r
+        println(f"[bench] rep $rep local[$cores]: build ${r.buildSec}%.1f s " +
+          f"(${nDocs / r.buildSec}%.0f docs/s)")
+      }
     }
+    val low = LevelResult(nLow, byLevel(nLow))
+    val high = LevelResult(nHigh, byLevel(nHigh))
+    val peak = LevelResult(nPeak, byLevel(nPeak))
+
+    // per-rep paired ratio: rep i's N and 4N builds ran minutes apart in
+    // the same VM state, so drift cancels inside each ratio; the median
+    // rejects outlier reps
+    val pairedEffs = low.reps.zip(high.reps).map { case (l, h) =>
+      (l.buildSec / h.buildSec) / (nHigh.toDouble / nLow)
+    }
+    val efficiency = median(pairedEffs)
+    val effOfMedians = (low.buildSec / high.buildSec) / (nHigh.toDouble / nLow)
+    val rankIdentical = allQueryNames.forall { name =>
+      val sets = (low.reps ++ high.reps ++ peak.reps).map(_.topDocs(name))
+      sets.forall(_ == sets.head)
+    }
+    val pipeline = pipelineBench(nPeak, sfDir)
 
     def f(d: Double): String = f"$d%.3f"
+    def samples(xs: Seq[Double]): String = xs.map(f).mkString("[", ",", "]")
     val queriesJson = (
-      peak.queryMs.map { case (k, v) => s""""q_$k":${f(v / 1000)}""" } ++
+      allQueryNames.map(n => s""""q_$n":${f(peak.queryMs(n) / 1000)}""") ++
       Seq(s""""index_build_${nLow}c":${f(low.buildSec)}""",
           s""""index_build_${nHigh}c":${f(high.buildSec)}""",
           s""""index_build_${nPeak}c":${f(peak.buildSec)}""")
     ).mkString("{", ",", "}")
+    // per-query per-rep medians (ms) at every level: the dispersion record
+    // that distinguishes a real query regression from VM noise
+    val querySamplesJson = Seq(nLow -> low, nHigh -> high, nPeak -> peak).map {
+      case (c, lv) =>
+        s""""query_ms_samples_${c}c":""" + allQueryNames.map(n =>
+          s""""$n":${samples(lv.queryMsSamples(n))}""").mkString("{", ",", "}")
+    }.mkString(",")
     val corpusBytes = dirBytes(s"$work/corpus")
     val postingsBytes = dirBytes(s"$work/idx-$nPeak/seg-0/postings")
     val indexBytes = dirBytes(s"$work/idx-$nPeak") - dirBytes(s"$work/idx-$nPeak/seg-0/corpus")
-    def samples(xs: Seq[Double]): String = xs.map(f).mkString("[", ",", "]")
     val pipelineJson = pipeline.map { case (name, (sec, rows, nd)) =>
       s""""pipeline_${name}_sec":${f(sec)},"pipeline_${name}_docs_per_sec":${f(nd / sec)},"pipeline_${name}_rows":$rows"""
     }.mkString(",")
     val json =
-      s"""{"metric":"index_docs_per_sec_peak","value":${f(peak.docsPerSec)},"unit":"docs/sec",""" +
+      s"""{"metric":"index_docs_per_sec_peak","value":${f(nDocs / peak.buildSec)},"unit":"docs/sec",""" +
       s""""queries":$queriesJson,"sf":"$sfDir",""" +
-      s""""bench_docs":$nDocs,"build_reps":$reps,""" +
-      s""""docs_per_sec_${nLow}c":${f(low.docsPerSec)},""" +
-      s""""docs_per_sec_${nHigh}c":${f(high.docsPerSec)},""" +
-      s""""docs_per_sec_${nPeak}c":${f(peak.docsPerSec)},""" +
+      s""""bench_docs":$nDocs,"build_reps":$reps,"query_reps":$queryReps,""" +
+      s""""protocol":"interleaved_reps_alternating_order",""" +
+      s""""docs_per_sec_${nLow}c":${f(nDocs / low.buildSec)},""" +
+      s""""docs_per_sec_${nHigh}c":${f(nDocs / high.buildSec)},""" +
+      s""""docs_per_sec_${nPeak}c":${f(nDocs / peak.buildSec)},""" +
       s""""build_secs_${nLow}c":${samples(low.buildSecs)},""" +
       s""""build_secs_${nHigh}c":${samples(high.buildSecs)},""" +
       s""""build_secs_${nPeak}c":${samples(peak.buildSecs)},""" +
       s""""scaling_pair":"${nLow}->${nHigh}",""" +
       s""""scaling_efficiency":${f(efficiency)},""" +
-      s""""scaling_efficiency_basis":"median_of_$reps",""" +
+      s""""scaling_efficiency_basis":"median_of_${reps}_per_rep_paired_ratios",""" +
+      s""""scaling_efficiency_samples":${samples(pairedEffs)},""" +
+      s""""scaling_efficiency_of_medians":${f(effOfMedians)},""" +
       s""""rank_identical_across_levels":$rankIdentical,""" +
       s""""corpus_bytes":$corpusBytes,"postings_bytes":$postingsBytes,""" +
-      s""""index_bytes_total":$indexBytes,$pipelineJson,""" +
-      s""""query_p50_ms_${nPeak}c":${f(median(peak.queryMs.values.toSeq))}}"""
+      s""""index_bytes_total":$indexBytes,$pipelineJson,$querySamplesJson,""" +
+      s""""query_p50_ms_${nPeak}c":${f(median(allQueryNames.map(peak.queryMs)))}}"""
 
     val md =
       s"""# BENCH — index-build throughput + BM25 query latency
          |
          |Protocol (BASELINE.md): identical deterministic corpus
          |($nDocs synthetic source files, seed 42, FIXTURES.md §1), same input
-         |parquet at every level, shuffle partitions = 4·cores. Each criterion
-         |level is built $reps times and the MEDIAN is used — single passes on
-         |this shared VM carry ±30% noise.
+         |parquet at every level, shuffle partitions = 4·cores.
+         |
+         |**Noise protocol (round 5):** the three levels are INTERLEAVED —
+         |each of the $reps reps builds once at every level in a fresh
+         |session, level order alternating rep-to-rep — so this VM's ±30%
+         |multi-minute drift lands on both criterion levels symmetrically
+         |instead of biasing one block of back-to-back builds. The headline
+         |efficiency is the median of PER-REP paired ratios (each rep's N
+         |and 4N builds see the same VM state, so drift cancels inside the
+         |ratio); the cross-rep efficiency-of-medians is reported alongside,
+         |with every sample. Query latencies are per-rep medians of
+         |$queryReps timed passes, reported as the median across reps.
          |
          || level | build sec (median) | samples | files/sec |
          ||---|---|---|---|
-         || local[$nLow] (N) | ${f(low.buildSec)} | ${low.buildSecs.map(f).mkString(", ")} | ${f(low.docsPerSec)} |
-         || local[$nHigh] (4N) | ${f(high.buildSec)} | ${high.buildSecs.map(f).mkString(", ")} | ${f(high.docsPerSec)} |
-         || local[$nPeak] (peak) | ${f(peak.buildSec)} | ${peak.buildSecs.map(f).mkString(", ")} | ${f(peak.docsPerSec)} |
+         || local[$nLow] (N) | ${f(low.buildSec)} | ${low.buildSecs.map(f).mkString(", ")} | ${f(nDocs / low.buildSec)} |
+         || local[$nHigh] (4N) | ${f(high.buildSec)} | ${high.buildSecs.map(f).mkString(", ")} | ${f(nDocs / high.buildSec)} |
+         || local[$nPeak] (peak) | ${f(peak.buildSec)} | ${peak.buildSecs.map(f).mkString(", ")} | ${f(nDocs / peak.buildSec)} |
          |
-         |**Scaling efficiency (N→4N, $nLow→$nHigh cores, median-of-$reps):** ${f(efficiency)} (target ≥ 0.8)
-         |**Top-10 docIDs rank-identical across all levels:** $rankIdentical
+         |**Scaling efficiency (N→4N, $nLow→$nHigh cores):** ${f(efficiency)}
+         |(target ≥ 0.8) — median of per-rep paired ratios
+         |[${pairedEffs.map(f).mkString(", ")}]; efficiency of cross-rep
+         |medians ${f(effOfMedians)}.
+         |**Top-10 docIDs rank-identical across all levels and reps:** $rankIdentical
          |**Index size:** postings ${postingsBytes / 1048576} MB
          |(delta+varint blobs + block metadata) for a ${corpusBytes / 1048576} MB
          |parquet corpus — ${f(postingsBytes.toDouble / corpusBytes)}x; full index
@@ -276,7 +353,7 @@ object Bench {
          |
          |Why N=$nLow: all cores of this single VM share one memory system;
          |the build is string-heavy and stays memory-bandwidth-bound above
-         |~8-16 threads (8→32 efficiency ≈ ${f((peak.docsPerSec / high.docsPerSec) / (nPeak.toDouble / nHigh))}
+         |~8-16 threads (8→32 efficiency ≈ ${f((high.buildSec / peak.buildSec) / (nPeak.toDouble / nHigh))}
          |even after the round-2 allocation cut — scanner tokenizer +
          |sort-run tf counting — which lifted 8-core throughput ~1.5x and
          |made 32 cores scale past 8 at all; a pure-CPU probe
@@ -290,9 +367,9 @@ object Bench {
          |
          |goSearch ingests one doc per HTTP request at 0.782 ms avg ⇒ ~1,279
          |files/sec on its single cloud node. This engine indexes
-         |${f(low.docsPerSec)} files/sec on TWO cores and
-         |${f(peak.docsPerSec)} files/sec on the whole box — ${
-           f(peak.docsPerSec / 1279.0)}x the reference's single-node ingest
+         |${f(nDocs / low.buildSec)} files/sec on TWO cores and
+         |${f(nDocs / peak.buildSec)} files/sec on the whole box — ${
+           f(nDocs / peak.buildSec / 1279.0)}x the reference's single-node ingest
          |throughput at the same data scale, while also persisting a
          |compressed, statistics-bearing index. Search: the reference answers
          |in ~0.8 ms because its radix tree is fully RAM-resident; the
@@ -312,13 +389,13 @@ object Bench {
             s"| $name | ${f(sec)} | ${f(nd / sec)} | $rows |"
           }.mkString("\n|")}
          |
-         |## BM25 top-10 query latency (warm, ms)
+         |## BM25 top-10 query latency (warm, ms — median of $reps rep-medians, $queryReps passes each)
          |
-         || query | local[$nLow] | local[$nHigh] | local[$nPeak] |
-         ||---|---|---|---|
+         || query | local[$nLow] | local[$nHigh] | local[$nPeak] | $nPeak-core samples |
+         ||---|---|---|---|---|
          |${(queryMix.map { case (name, q, bw, mode) =>
-            s"| $name (`$q`${if (bw) ", prefix" else ""}, $mode) | ${f(low.queryMs(name))} | ${f(high.queryMs(name))} | ${f(peak.queryMs(name))} |"
-          } :+ s"| wand3_distributed (fast path off) | ${f(low.queryMs("wand3_distributed"))} | ${f(high.queryMs("wand3_distributed"))} | ${f(peak.queryMs("wand3_distributed"))} |").mkString("\n|")}
+            s"| $name (`$q`${if (bw) ", prefix" else ""}, $mode) | ${f(low.queryMs(name))} | ${f(high.queryMs(name))} | ${f(peak.queryMs(name))} | ${peak.queryMsSamples(name).map(f).mkString(", ")} |"
+          } :+ s"| wand3_distributed (fast path off) | ${f(low.queryMs("wand3_distributed"))} | ${f(high.queryMs("wand3_distributed"))} | ${f(peak.queryMs("wand3_distributed"))} | ${peak.queryMsSamples("wand3_distributed").map(f).mkString(", ")} |").mkString("\n|")}
          |
          |On `wand3_distributed`: it bypasses every driver cache by design
          |(fast path disabled), so its latency is dominated by Spark's

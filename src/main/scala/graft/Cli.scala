@@ -24,7 +24,9 @@ import org.apache.spark.sql.SparkSession
   *   contents are never touched)
   * spark-submit --class graft.Cli app.jar stream <inputDir> <indexDir> [--checkpoint-dir d]
   * spark-submit --class graft.Cli app.jar curate <docsParquet> <outDir>
-  * spark-submit --class graft.Cli app.jar decontaminate <trainParquet> <benchParquet> <outDir> [--min-containment 0.8]
+  * spark-submit --class graft.Cli app.jar decontaminate <trainParquet|indexDir> <benchParquet> <outDir> [--min-containment 0.8] [--index]
+  *   (--index: the train side is an index STORE — reads/maintains its
+  *   persisted per-segment shingle tables instead of re-shingling)
   * spark-submit --class graft.Cli app.jar merge  <indexDir> [--max-docs n]
   * spark-submit --class graft.Cli app.jar compact <indexDir>
   * spark-submit --class graft.Cli app.jar fields <indexDir>
@@ -194,7 +196,10 @@ object Cli {
       case "decontaminate" =>
         // cross-corpus decontamination: training docs containing benchmark
         // items (n-gram containment) + the per-item coverage report, both
-        // from ONE scan of each corpus (Dedup.contaminationReport)
+        // from ONE scan of each corpus (Dedup.contaminationReport). With
+        // --index, arg 1 is an INDEX STORE whose persisted per-segment
+        // shingle tables feed the train side — repeated reports against a
+        // growing corpus stop re-shingling it per run
         val minC = args.sliding(2).collectFirst {
           case Array("--min-containment", v) => v.toDouble }.getOrElse(0.8)
         def textify(df: org.apache.spark.sql.DataFrame) = {
@@ -202,9 +207,14 @@ object Cli {
           df.select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col(textCol).as("text"))
         }
-        val (pairs, coverage) = graft.pipeline.Dedup.contaminationReport(
-          textify(spark.read.parquet(args(1))),
-          textify(spark.read.parquet(args(2))), minContainment = minC)
+        val (pairs, coverage) =
+          if (args.contains("--index"))
+            graft.pipeline.Dedup.contaminationReportPersisted(
+              IndexStore.open(spark, args(1)),
+              textify(spark.read.parquet(args(2))), minContainment = minC)
+          else graft.pipeline.Dedup.contaminationReport(
+            textify(spark.read.parquet(args(1))),
+            textify(spark.read.parquet(args(2))), minContainment = minC)
         pairs.write.mode("overwrite").parquet(s"${args(3)}/pairs")
         coverage.write.mode("overwrite").parquet(s"${args(3)}/coverage")
         val nPairs = spark.read.parquet(s"${args(3)}/pairs").count()

@@ -281,6 +281,27 @@ object PipelineQueries {
         java.nio.file.Files.createTempDirectory("graft-ivf").toString,
         nLists = 16, seed = 42L))))
 
+  /** One INCREMENTALLY-GROWN persisted IVF index per sf dir: the quantizer
+    * is trained on 80% of the corpus (`vec_id % 5 != 3`), then the held-out
+    * 20% wave is `add()`ed against the FROZEN centroids — the maintenance
+    * path a growing vector corpus exercises. The recall gate then queries
+    * the grown index against brute force over the FULL corpus, bounding
+    * frozen-quantizer drift with a red row (measured: recall 0.90 / 1.00 /
+    * 0.875 at sf0.001/0.01/0.1, `graft.tools.RecallProbe` ivf-add80). */
+  private val ivfAddCache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
+  private val ivfAddLock = new Object
+  private def ivfAddIndexFor(s: SparkSession, dir: String): IvfIndex =
+    ivfAddCache.get(dir).getOrElse(ivfAddLock.synchronized(
+      ivfAddCache.getOrElseUpdate(dir, {
+        val emb = Corpus.embeddings(s, dir)
+        val idx = IvfIndex.build(emb.filter(col("vec_id") % 5 =!= 3),
+          java.nio.file.Files.createTempDirectory("graft-ivfadd").toString,
+          nLists = 16, seed = 42L)
+        idx.add(emb.filter(col("vec_id") % 5 === 3)
+          .select(col("vec_id"), col("embedding")))
+        idx
+      })))
+
   /** DuckDB expression replaying [[TextAnalysis.BpeMerges]] in rank order
     * over a pre-token column `t` (wrapped-symbol replace encoding — the
     * exact twin of [[TextAnalysis.bpeSymbolCount]]'s state string). */
@@ -429,6 +450,30 @@ object PipelineQueries {
            |LEFT JOIN usable ON b.doc_id = usable.bench_id
            |ORDER BY bench_id""".stripMargin)),
 
+    // decontamination riding the PERSISTED per-segment shingle tables of
+    // the cached contract store (content == documents.text): the train
+    // side reads stored (doc_id, shingle) rows — computed once per segment
+    // — instead of re-shingling the corpus, and must STILL produce the
+    // exact containment pairs of the from-scratch oracle
+    QueryDef("q_decontaminate_persisted",
+      (s, dir) => {
+        val (_, bench) = decontCorpora(s, dir)
+        Dedup.contaminationReportPersisted(
+            QueryRegistry.engineFor(s, dir).store, bench, minContainment = 0.8)._1
+          .select(col("train_id"), col("bench_id"),
+            round(col("containment"), 4).as("containment"))
+          .orderBy("train_id", "bench_id")
+      },
+      Some(
+        s"""WITH $decontCtes,
+           |nb AS (SELECT bench_id, count(*) AS nb FROM bsh GROUP BY bench_id),
+           |inter AS (SELECT train_id, bench_id, count(*) AS c
+           |          FROM tsh JOIN bsh USING (s) GROUP BY 1, 2)
+           |SELECT train_id, bench_id, round(c * 1.0 / nb.nb, 4) AS containment
+           |FROM inter JOIN nb USING (bench_id)
+           |WHERE c * 1.0 / nb.nb >= 0.8
+           |ORDER BY train_id, bench_id""".stripMargin)),
+
     // dup-group clustering: connected components over the Jaccard pairs,
     // hash-verified against a recursive-CTE transitive closure
     QueryDef("q_dedup_groups",
@@ -542,6 +587,13 @@ object PipelineQueries {
     // (IvfIndex.build → open), same k-means params as the probe measured.
     annRecallQuery("q_ann_ivf_recall", (s, dir, _, q) =>
       ivfIndexFor(s, dir).topK(q, k = 5, nProbe = 8)),
+
+    // the INCREMENTAL IVF path: build on 80%, add() the held-out wave
+    // against the frozen quantizer, then recall-gate the grown index vs
+    // brute force over the full corpus — quantizer drift is bounded by
+    // this row going red
+    annRecallQuery("q_ann_ivf_add_recall", (s, dir, _, q) =>
+      ivfAddIndexFor(s, dir).topK(q, k = 5, nProbe = 8)),
 
     annRecallQuery("q_ann_lsh_recall", (_, _, emb, q) =>
       Similarity.lshTopK(q, emb, k = 5, nBits = 16, bands = 8)),

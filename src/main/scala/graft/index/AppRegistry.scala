@@ -22,6 +22,12 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(rootDir).getFileSystem(hconf)
 
+  /** Upper bound on the whole catalog-listing metadata fan-out — generous
+    * for any healthy filesystem (10^4 manifest reads finish in seconds on
+    * object stores), tight enough that a dead remote FS fails the listing
+    * with a diagnosis instead of hanging it forever. */
+  private val ListTimeout = scala.concurrent.duration.Duration(10, "min")
+
   /** App names must be path-safe (one directory level; "." and ".." would
     * escape the namespace — dropApp("..") must never delete the parent) and
     * must not end in IndexStore.compact()'s reserved working suffixes: an
@@ -69,19 +75,37 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
     // per-app manifest/footer reads are independent driver-side FS
     // round-trips — fan them out on a thread pool (like IndexStore's
     // parquetFileMetrics): a 10^4-app catalog must not pay 10^4
-    // SEQUENTIAL metadata reads while every core sits idle
+    // SEQUENTIAL metadata reads while every core sits idle. The pool is
+    // BOUNDED and DEDICATED (the global pool is shared with
+    // parquetFileMetrics' inner futures — unbounded fan-out there could
+    // starve this listing and vice versa), and the wait is FINITE: one
+    // hung filesystem probe (a dead remote FS) must fail the listing with
+    // the stalled app's name, not hang the whole catalog forever.
     val infos = {
       import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(Future.sequence(appNames().map { name => Future {
-        // raw constructor, not app(): the listing reads only the manifest's
-        // segment list and tombstone footers — both layout-independent — so
-        // open()'s extra per-app manifest probe would double the driver-side
-        // FS round-trips of a large catalog for nothing
-        val store = new IndexStore(spark, s"$rootDir/$name", cfg)
-        (name, store.segments, store.tombstoneCount())
-      }}), Duration.Inf)
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(32, Runtime.getRuntime.availableProcessors * 2))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = appNames().map { name => name -> Future {
+          // raw constructor, not app(): the listing reads only the manifest's
+          // segment list and tombstone footers — both layout-independent — so
+          // open()'s extra per-app manifest probe would double the driver-side
+          // FS round-trips of a large catalog for nothing
+          val store = new IndexStore(spark, s"$rootDir/$name", cfg)
+          (name, store.segments, store.tombstoneCount())
+        }}
+        try Await.result(Future.sequence(futs.map(_._2)), ListTimeout)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            val stalled = futs.filterNot(_._2.isCompleted).map(_._1)
+            sys.error(s"listApps: metadata reads still pending after " +
+              s"$ListTimeout for apps [${stalled.take(10).mkString(", ")}" +
+              s"${if (stalled.size > 10) s", … ${stalled.size} total" else ""}] " +
+              "— filesystem stalled?")
+        }
+      } finally pool.shutdown()
     }
     val plain = infos.collect { case (name, segs, 0L) =>
       (name, segs.size.toLong, segs.map(_.numDocs).sum)

@@ -307,6 +307,12 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
       "a delete landed during the merge build; merge aborted (uncommitted " +
         "stage dir will be reclaimed by the next build) — run compact()")
     val smallIds = small.map(_.id).toSet
+    // re-home any persisted similarity tables (and the sweep watermark)
+    // onto the merged segment BEFORE the folded directories disappear —
+    // signatures are pure per-doc functions, so they survive re-segmenting
+    // verbatim; dropping them would make the next dedup sweep re-signature
+    // the whole merged corpus
+    SimilarityIndex.carryThroughMerge(this, small.map(_.id), newId)
     writeManifest(all.filterNot(s => smallIds.contains(s.id)) :+ SegmentInfo(newId, numDocs))
     smallIds.foreach(id => fs.delete(p(s"seg-$id"), true))
     Some(newId)
@@ -633,6 +639,11 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     val live = liveCorpus().as[CorpusDoc]
     val tmp = new IndexStore(spark, baseDir + ".compact", cfg)
     tmp.createSegment(live)
+    // re-home the similarity layer (signature tables of LIVE docs +
+    // similarity.json) onto the rebuilt store BEFORE the swap — the swap
+    // replaces baseDir wholesale, and losing the tables would put a
+    // corpus-proportional re-signature in front of the next dedup sweep
+    SimilarityIndex.carryThroughCompact(this, tmp)
     val dst = new Path(baseDir)
     if (!fs.rename(dst, oldPath))
       sys.error(s"compact: failed to move $dst aside to $oldPath")

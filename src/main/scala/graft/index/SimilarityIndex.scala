@@ -14,9 +14,10 @@ import org.apache.spark.sql.types._
   * {{{
   * base/
   *   similarity.json              — pinned field + per-kind params + sweep watermark
-  *   seg-<i>/minhash/             — (doc_id, sig: array<long>[numHashes])
-  *   seg-<i>/simhash/             — (doc_id, simhash: long)
-  *   seg-<i>/_checkpoints/{minhash,simhash}.json   written once per segment
+  *   seg-<i>/minhash/             — (doc_id, sig: array<long>[numHashes], seg)
+  *   seg-<i>/simhash/             — (doc_id, simhash: long, seg)
+  *   seg-<i>/shingles/            — (doc_id, shingle: string, seg) — uncapped
+  *   seg-<i>/_checkpoints/{minhash,simhash,shingles}.json   written once per segment
   * }}}
   *
   * Signatures are PURE PER-DOC functions (uncapped shingles → seeded
@@ -48,12 +49,7 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
   private def metaPath = new Path(s"${store.baseDir}/similarity.json")
   private def fs = metaPath.getFileSystem(hconf)
 
-  /** minhash = (numHashes, seed, shingleK), present once the MinHash side
-    * has pinned its parameters. */
-  private final case class Meta(textField: String,
-                                minhash: Option[(Int, Long, Int)],
-                                swept: Set[Int],
-                                sweptMinJaccard: Option[Double])
+  import SimilarityIndex.Meta
 
   private def readMeta(): Option[Meta] = {
     if (!fs.exists(metaPath)) return None
@@ -71,7 +67,8 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
       .orElse(Option(n.get("numHashes")).map(nh =>
         (nh.asInt(), n.get("seed").asLong(), n.get("shingleK").asInt())))
     Some(Meta(n.get("textField").asText(), mh, swept,
-      Option(n.get("sweptMinJaccard")).map(_.asDouble())))
+      Option(n.get("sweptMinJaccard")).map(_.asDouble()),
+      Option(n.get("shingles")).map(_.get("k").asInt())))
   }
 
   private def writeMeta(m: Meta): Unit = {
@@ -79,9 +76,10 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
     val mh = m.minhash.map { case (nh, sd, k) =>
       s""","minhash":{"numHashes":$nh,"seed":$sd,"shingleK":$k}"""
     }.getOrElse("")
+    val shk = m.shinglesK.map(k => s""","shingles":{"k":$k}""").getOrElse("")
     val json =
       s"""{"textField":"${m.textField}",""" +
-      s""""sweptSegs":${m.swept.toSeq.sorted.mkString("[", ",", "]")}$minJ$mh}"""
+      s""""sweptSegs":${m.swept.toSeq.sorted.mkString("[", ",", "]")}$minJ$mh$shk}"""
     val out = fs.create(metaPath, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -113,35 +111,61 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
   // ---------- shared per-kind stage-table lifecycle ----------
 
   /** Writes the per-segment table of one signature kind for every
-    * committed segment lacking it; returns the freshly covered seg ids. */
+    * committed segment lacking it; returns the freshly covered seg ids.
+    * The `seg` provenance column is PERSISTED into the table (one literal
+    * int per row, dictionary-encoded to nothing in parquet) so that
+    * [[kindValues]] can read every segment's table in ONE multi-path scan
+    * instead of a per-segment union — a micro-batch store with 10^4
+    * segments must not build a 10^4-way union plan per sweep. */
   private def ensureKind(stage: String, plan: Int => DataFrame): Seq[Int] = {
     val missing = store.segments.filterNot(s => store.stageDone(s.id, stage))
     missing.foreach { seg =>
       store.runStage(seg.id, stage, Seq(s"seg-${seg.id}/corpus"), resume = true) {
-        plan(seg.id)
+        plan(seg.id).withColumn("seg", lit(seg.id))
       }
     }
     missing.map(_.id)
   }
 
+  private def withSeg(schema: StructType): StructType =
+    schema.add(StructField("seg", IntegerType))
+
   /** One kind's tables across all committed segments with a `seg`
     * provenance column (explicit schema: no inference job per segment).
-    * With `transientMissing`, segments lacking a table contribute their
-    * computation PLAN instead (recomputed per action, nothing written) —
-    * the read-only shape dry-run audits need. */
+    * Persisted tables are read as ONE multi-path scan — the plan holds a
+    * single file-source relation no matter how many segments exist.
+    * Tables written before the `seg` column was persisted (legacy) read it
+    * as null and recover it from the file path (`seg-<i>/<stage>/…`),
+    * which this layer owns. With `transientMissing`, segments lacking a
+    * table contribute their computation PLAN instead (recomputed per
+    * action, nothing written) — the read-only shape dry-run audits need;
+    * without it a missing table fails loudly (reading a half-covered store
+    * silently would otherwise surface as a confusing path error, or worse,
+    * recompute corpus-scale work per action behind the caller's back —
+    * run `ensure*()` first, or opt into `transientMissing`). */
   private def kindValues(stage: String, schema: StructType,
                          plan: Int => DataFrame,
-                         transientMissing: Boolean): DataFrame =
-    store.segments.map { s =>
-      if (transientMissing && !store.stageDone(s.id, stage))
-        plan(s.id).withColumn("seg", lit(s.id))
-      else
-        spark.read.schema(schema).parquet(store.segPath(s.id, stage))
-          .withColumn("seg", lit(s.id))
-    }.reduceOption(_ unionByName _)
+                         transientMissing: Boolean): DataFrame = {
+    val (done, missing) = store.segments.partition(s => store.stageDone(s.id, stage))
+    require(missing.isEmpty || transientMissing,
+      s"similarity index at ${store.baseDir}: segment(s) " +
+        s"${missing.map(_.id).mkString(", ")} have no persisted '$stage' " +
+        "table — run ensure()/ensureSimHash() first (or pass " +
+        "transientMissing=true to compute them in-plan without writing)")
+    val persisted =
+      if (done.isEmpty) None
+      else Some {
+        val read = spark.read.schema(withSeg(schema))
+          .parquet(done.map(s => store.segPath(s.id, stage)): _*)
+        read.withColumn("seg", coalesce(col("seg"),
+          regexp_extract(input_file_name(), "seg-([0-9]+)/", 1).cast("int")))
+      }
+    val transients = missing.map(s => plan(s.id).withColumn("seg", lit(s.id)))
+    (persisted.toSeq ++ transients).reduceOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.add(StructField("seg", IntegerType))))
+        withSeg(schema)))
+  }
 
   private def tombstoneFilter(df: DataFrame): DataFrame = {
     if (store.tombstoneCount() == 0L) return df
@@ -222,6 +246,60 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
   def liveSimHashes(transientMissing: Boolean = false): DataFrame =
     tombstoneFilter(simHashValues(transientMissing))
 
+  // ---------- raw shingle tables ----------
+
+  private val shingleSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("shingle", StringType)))
+
+  private def segShinglesPlan(segId: Int): DataFrame =
+    graft.pipeline.Dedup.shingles(
+      spark.read.parquet(store.segPath(segId, "corpus"))
+        .select(col("doc_id"), col(textField).as("text")),
+      k = shingleK, maxShingleDf = 0)
+
+  private def checkShingles(m: Meta): Unit = {
+    checkField(m)
+    m.shinglesK.foreach(k => require(k == shingleK,
+      s"similarity index at ${store.baseDir} stores $k-shingles; refusing " +
+        s"to mix with k=$shingleK — re-derive under one k"))
+  }
+
+  /** Fails loudly on a shingle-k mismatch with the persisted config;
+    * writes NOTHING (safe on a read-only store). */
+  def validateShingles(): Unit = readMeta().foreach(checkShingles)
+
+  /** Computes per-segment RAW SHINGLE tables (`seg-<i>/shingles/`,
+    * `(doc_id, shingle)` UNCAPPED — a pure per-doc function like the other
+    * kinds; frequency caps are a cross-corpus policy applied at read time)
+    * for every committed segment lacking one. This is the third persisted
+    * kind: repeated decontamination reports against a growing corpus read
+    * stored shingle rows instead of re-tokenizing and re-shingling the
+    * training corpus per report
+    * ([[graft.pipeline.Dedup.contaminationReportPersisted]]). The table
+    * trades one-time storage (≈ k× the token volume, dictionary-encoded by
+    * parquet) for the per-report tokenize+shingle CPU pass — the same
+    * trade the posting store makes for term lookups. Pins `k` on first
+    * use. */
+  def ensureShingles(): Seq[Int] = {
+    readMeta() match {
+      case Some(m) =>
+        checkShingles(m)
+        if (m.shinglesK.isEmpty) writeMeta(m.copy(shinglesK = Some(shingleK)))
+      case None =>
+        writeMeta(Meta(textField, None, Set.empty, None, Some(shingleK)))
+    }
+    ensureKind("shingles", segShinglesPlan)
+  }
+
+  /** All committed segments' raw shingles; see [[kindValues]]. */
+  def shingleValues(transientMissing: Boolean = false): DataFrame =
+    kindValues("shingles", shingleSchema, segShinglesPlan, transientMissing)
+
+  /** Live-document raw shingles (tombstone-filtered). */
+  def liveShingles(transientMissing: Boolean = false): DataFrame =
+    tombstoneFilter(shingleValues(transientMissing))
+
   // ---------- sweep watermark ----------
 
   /** Committed segments past the sweep watermark — the docs an incremental
@@ -231,21 +309,144 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
     * discarded and every segment reports unswept (the next sweep is a full
     * one) — silently keeping it would under-delete after a policy
     * tightening. */
-  def unsweptSegs(minJaccard: Double): Seq[Int] = {
+  def unsweptSegs(minJaccard: Double): Seq[Int] = sweepScope(minJaccard)._1
+
+  /** One atomic capture of the sweep's coverage: `(unswept, covered)`
+    * where `covered` is EVERY segment id the sweep will have resolved —
+    * the validly-swept set plus the unswept ids it is about to pair. The
+    * sweep passes `covered` back to [[markSwept]] verbatim: re-listing
+    * `store.segments` at mark time would watermark a segment committed by
+    * another writer WHILE the candidate join ran, silently under-deleting
+    * at this threshold forever. */
+  def sweepScope(minJaccard: Double): (Seq[Int], Seq[Int]) = {
     val meta = readMeta()
     val valid = meta.exists(_.sweptMinJaccard.contains(minJaccard))
     val swept = if (valid) meta.map(_.swept).getOrElse(Set.empty[Int])
                 else Set.empty[Int]
-    store.segments.map(_.id).filterNot(swept)
+    val all = store.segments.map(_.id)
+    (all.filterNot(swept), (swept ++ all).toSeq.sorted)
   }
 
-  /** Advances the sweep watermark (recording its threshold) to every
-    * currently committed segment, preserving the rest of the metadata.
-    * Called by the sweep AFTER its deletes land; a dry run never advances
-    * (its findings were not applied, so the segments are still unswept). */
-  def markSwept(minJaccard: Double): Unit = {
+  // ---------- merge/compact carry ----------
+
+  /** Re-homes the persisted signature tables of `oldIds` onto the merged
+    * segment `newId` — called by [[IndexStore.mergeSmallSegments]] BEFORE
+    * it deletes the folded segment directories. Signatures are pure
+    * per-doc functions, so they survive re-segmenting verbatim: the merged
+    * segment's table is the union of the old tables with provenance
+    * re-stamped, written through the same checkpointed stage machinery as
+    * a fresh signature pass — WITHOUT this, a merge would drop the tables
+    * and the next ensure would re-signature the whole merged corpus, the
+    * exact corpus-proportional work the persistence exists to avoid. A
+    * kind is carried only when EVERY folded segment has its table (a
+    * partial union would silently under-cover the merged segment; the
+    * next ensure computes it wholesale instead). The sweep watermark
+    * follows the same rule: the merged segment is swept iff every folded
+    * segment was — folded ids leave the watermark either way (they no
+    * longer exist). */
+  private[index] def carryMerge(oldIds: Seq[Int], newId: Int): Unit = {
+    Seq(("minhash", sigSchema), ("simhash", simHashSchema),
+        ("shingles", shingleSchema)).foreach {
+      case (stage, schema) =>
+        if (oldIds.nonEmpty && oldIds.forall(id => store.stageDone(id, stage)) &&
+            !store.stageDone(newId, stage)) {
+          store.runStage(newId, stage, oldIds.map(id => s"seg-$id/$stage"),
+            resume = true) {
+            spark.read.schema(withSeg(schema))
+              .parquet(oldIds.map(id => store.segPath(id, stage)): _*)
+              .drop("seg").withColumn("seg", lit(newId))
+          }
+          ()
+        }
+    }
+    readMeta().foreach { m =>
+      val swept =
+        if (oldIds.nonEmpty && oldIds.forall(m.swept)) (m.swept -- oldIds) + newId
+        else m.swept -- oldIds
+      writeMeta(m.copy(swept = swept))
+    }
+  }
+
+  /** Advances the sweep watermark (recording its threshold) to exactly
+    * `coveredIds` — the ids captured when [[sweepScope]] was computed —
+    * preserving the rest of the metadata. Called by the sweep AFTER its
+    * deletes land; a dry run never advances (its findings were not
+    * applied, so the segments are still unswept). */
+  def markSwept(minJaccard: Double, coveredIds: Seq[Int]): Unit = {
     val m = readMeta().getOrElse(Meta(textField, None, Set.empty, None))
-    writeMeta(m.copy(swept = store.segments.map(_.id).toSet,
+    writeMeta(m.copy(swept = coveredIds.toSet,
       sweptMinJaccard = Some(minJaccard)))
+  }
+}
+
+object SimilarityIndex {
+
+  /** minhash = (numHashes, seed, shingleK), present once the MinHash side
+    * has pinned its parameters; shinglesK pinned once the raw-shingle side
+    * has (the two pins are independent — each kind validates only its
+    * own). Lives in the companion so maintenance hooks can move metadata
+    * between two stores' instances. */
+  private final case class Meta(textField: String,
+                                minhash: Option[(Int, Long, Int)],
+                                swept: Set[Int],
+                                sweptMinJaccard: Option[Double],
+                                shinglesK: Option[Int] = None)
+
+  /** Merge-fold hook (see [[SimilarityIndex.carryMerge]]): resolves the
+    * store's pinned similarity field from `similarity.json` — no metadata
+    * file means no similarity layer exists on this store and there is
+    * nothing to carry. Parameter validation is irrelevant here: the carry
+    * is a pure re-homing of whatever tables exist under whatever
+    * parameters they were pinned with. */
+  private[index] def carryThroughMerge(store: IndexStore, oldIds: Seq[Int],
+                                       newId: Int): Unit =
+    resolve(store).foreach(_.carryMerge(oldIds, newId))
+
+  /** Compact-fold hook: [[IndexStore.compact]] rebuilds the whole store
+    * from the live corpus into `tmpStore` (one fresh segment 0) and swaps
+    * it in — without this, the swap would discard every signature table
+    * AND `similarity.json`, and the next sweep would re-signature the
+    * compacted corpus wholesale. Signatures of LIVE docs survive a compact
+    * verbatim (pure per-doc functions; the compacted corpus is exactly the
+    * tombstone-filtered row set), so each fully-covered kind is re-homed
+    * as one tombstone-filtered union onto the new segment 0, and the
+    * metadata follows with the watermark collapsed to {0} iff every old
+    * segment was swept (a compact must never turn swept data unswept — or
+    * unswept data swept). */
+  private[index] def carryThroughCompact(oldStore: IndexStore,
+                                         tmpStore: IndexStore): Unit =
+    resolve(oldStore).foreach { oldSim =>
+      val m = oldSim.readMeta().get
+      val oldIds = oldStore.segments.map(_.id)
+      Seq(("minhash", oldSim.sigSchema), ("simhash", oldSim.simHashSchema),
+          ("shingles", oldSim.shingleSchema)).foreach { case (stage, schema) =>
+        if (oldIds.nonEmpty && oldIds.forall(id => oldStore.stageDone(id, stage)) &&
+            !tmpStore.stageDone(0, stage)) {
+          tmpStore.runStage(0, stage,
+            oldIds.map(id => s"${oldStore.baseDir}/seg-$id/$stage"),
+            resume = true) {
+            oldSim.tombstoneFilter(oldSim.kindValues(stage, schema,
+                i => sys.error(s"carryThroughCompact: seg $i lost its $stage table"),
+                transientMissing = false))
+              .drop("seg").withColumn("seg", lit(0))
+          }
+          ()
+        }
+      }
+      val allSwept = oldIds.nonEmpty && oldIds.forall(m.swept)
+      new SimilarityIndex(tmpStore, m.textField)
+        .writeMeta(m.copy(swept = if (allSwept) Set(0) else Set.empty))
+    }
+
+  /** The store's similarity layer under its PINNED field, or None when the
+    * layer was never initialized on this store. */
+  private def resolve(store: IndexStore): Option[SimilarityIndex] = {
+    val p = new Path(s"${store.baseDir}/similarity.json")
+    val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val field = new ObjectMapper().readTree(txt).get("textField").asText()
+    Some(new SimilarityIndex(store, field))
   }
 }

@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Salt count for [[exactGroups]]' bounded id sampling: a pathological
+    * group is split across this many parallel sort partitions, so a
+    * 10^8-copy group sorts ~1.5M rows per task instead of 10^8 in one. */
+  private val ExactSampleSalts = 64
+
   /** Exact duplicate groups by content hash. Returns one row per duplicate
     * group: (content_sha, keep_id = min doc_id, n_dups). At any scale this
     * is one hash-aggregation — the canonical exact-dedup.
@@ -20,26 +25,35 @@ object Dedup {
     * (10^8 copies of a boilerplate file — real in crawl data) would put
     * every member id into one reducer's aggregation buffer. Pass
     * `maxIdsPerGroup > 0` to add a `doc_ids_sample` column holding the
-    * smallest `maxIdsPerGroup` ids per group; the bound is enforced BEFORE
-    * aggregation (row_number over the same grouping key, so the window and
-    * the aggregate share one shuffle) — the agg buffer itself stays
-    * bounded, not just the output column. */
+    * smallest `maxIdsPerGroup` ids per group, computed as a SALTED
+    * two-phase bounded top-N: phase 1 row_numbers within
+    * (content_sha, salt = id-hash mod [[ExactSampleSalts]]) partitions —
+    * the hottest group's sort is split across the salts, so no single task
+    * ever sorts the full group — and keeps each salt's smallest N; phase 2
+    * merges the ≤ salts·N survivors per group and re-slices to N, so the
+    * aggregation buffer is bounded by salts·N regardless of group size.
+    * (keep_id/n_dups come straight off the unsalted hash-agg with partial
+    * map-side combine — only the sample pays the extra exchange.) */
   def exactGroups(docs: DataFrame, textCol: String = "text",
                   maxIdsPerGroup: Int = 0): DataFrame = {
     val keyed = docs.select(sha2(col(textCol), 256).as("content_sha"), col("doc_id"))
-    if (maxIdsPerGroup <= 0)
-      keyed.groupBy(col("content_sha"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-        .filter(col("n_dups") > 1)
+    val stats = keyed.groupBy(col("content_sha"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+    if (maxIdsPerGroup <= 0) stats
     else {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("content_sha")).orderBy(col("doc_id"))
-      keyed.withColumn("rn", row_number().over(w))
-        .groupBy(col("content_sha"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"),
-          sort_array(collect_list(when(col("rn") <= maxIdsPerGroup, col("doc_id"))))
-            .as("doc_ids_sample"))
-        .filter(col("n_dups") > 1)
+        .partitionBy(col("content_sha"), col("salt")).orderBy(col("doc_id"))
+      val perSalt = keyed
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(ExactSampleSalts)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= maxIdsPerGroup)
+      val samples = perSalt.groupBy(col("content_sha"))
+        .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxIdsPerGroup)
+          .as("doc_ids_sample"))
+      stats.join(samples, Seq("content_sha"))
+        .select(col("content_sha"), col("keep_id"), col("n_dups"),
+          col("doc_ids_sample"))
     }
   }
 
@@ -130,7 +144,18 @@ object Dedup {
   def contaminationFrom(tSh0: DataFrame, bSh0: DataFrame, benchIds: DataFrame,
                         minContainment: Double = 0.8,
                         maxShingleDf: Long = DefaultMaxShingleDf): (DataFrame, DataFrame) = {
-    val (t, b) = capCrossShingles(tSh0, bSh0, maxShingleDf)
+    // Only shingles the BENCH side holds can ever pair, and only they feed
+    // the union df cap and the coverage denominators — restrict the
+    // (corpus-scale) train side to them FIRST. The bench shingle set is
+    // benchmark-sized, so the semi-join broadcasts and the train side
+    // collapses to one map-side streaming pass: report cost becomes ∝
+    // bench size plus a single read of the train shingles, instead of a
+    // corpus-wide shuffle of every train shingle into the df aggregation.
+    // Result-identical: a train row whose shingle the bench never mentions
+    // contributes to no pair, no cap decision that matters, no coverage.
+    val tRel = tSh0.join(bSh0.select(col("shingle")).distinct(),
+      Seq("shingle"), "left_semi")
+    val (t, b) = capCrossShingles(tRel, bSh0, maxShingleDf)
     val nb = b.groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
     val pairs = t.join(b, Seq("shingle"))
       .groupBy(col("train_id"), col("bench_id")).agg(count(lit(1)).as("c"))
@@ -171,6 +196,38 @@ object Dedup {
     // the bench side checkpoints its TOKEN arrays, not its shingles: both
     // the shingle expansion and the coverage anchor (ids incl. sub-k docs)
     // derive from the same materialized pass — bench is scanned once
+    val bToks = bench
+      .select(col("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(true)
+    val bSh0 = shingleExpand(bToks, k)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val benchIds = bToks.select(col("doc_id").as("bench_id"))
+    contaminationFrom(tSh0, bSh0, benchIds, minContainment, maxShingleDf)
+  }
+
+  /** Decontamination over the PERSISTED per-segment shingle tables
+    * ([[graft.index.SimilarityIndex.ensureShingles]]): the training side
+    * of the containment join reads stored `(doc_id, shingle)` rows instead
+    * of re-tokenizing and re-shingling the corpus per report, so a
+    * repeated report against a growing training corpus costs the one-time
+    * signature pass for NEW segments plus work proportional to the (small)
+    * benchmark side. Result identical to [[contaminationReport]] over the
+    * same live rows — the stored tables hold the identical uncapped
+    * per-doc shingles, and the union df cap is applied at read time by the
+    * shared [[contaminationFrom]] core. `readOnly = true` writes nothing:
+    * missing tables are computed transiently in-plan (the audit shape).
+    * Returns `(pairs, coverage)`. */
+  def contaminationReportPersisted(store: graft.index.IndexStore,
+                                   bench: DataFrame,
+                                   textField: String = "content",
+                                   textCol: String = "text", k: Int = 3,
+                                   minContainment: Double = 0.8,
+                                   maxShingleDf: Long = DefaultMaxShingleDf,
+                                   readOnly: Boolean = false): (DataFrame, DataFrame) = {
+    val sim = new graft.index.SimilarityIndex(store, textField, shingleK = k)
+    if (readOnly) sim.validateShingles() else { sim.ensureShingles(); () }
+    val tSh0 = sim.liveShingles(transientMissing = readOnly)
+      .select(col("doc_id").as("train_id"), col("shingle"))
     val bToks = bench
       .select(col("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
       .localCheckpoint(true)
@@ -429,10 +486,12 @@ object Dedup {
     // missing signature tables are computed transiently in-plan instead of
     // persisted, and the watermark/metadata are untouched
     if (dryRun) sim.validateParams() else { sim.ensure(); () }
-    // a threshold change invalidates the watermark (unsweptSegs returns
-    // everything) — the sweep silently degrades to a FULL one, never to an
-    // under-deleting incremental one
-    val freshIds = sim.unsweptSegs(minJaccard)
+    // a threshold change invalidates the watermark (sweepScope returns
+    // everything unswept) — the sweep silently degrades to a FULL one,
+    // never to an under-deleting incremental one. coveredIds is captured
+    // HERE: a segment committed by another writer while the candidate join
+    // runs was never paired and must stay outside the watermark.
+    val (freshIds, coveredIds) = sim.sweepScope(minJaccard)
     if (freshIds.isEmpty) return 0L
     // dry runs compute missing signatures transiently; the frame appears
     // on BOTH sides of the banded self-join, so pin it in executor memory
@@ -443,7 +502,7 @@ object Dedup {
       val pairs = persistedSweepPairs(store, sigs, freshIds, minJaccard,
         textField, numHashes, bands)
       val n = applySweep(store, pairs, dryRun, checkpointDir)
-      if (!dryRun) sim.markSwept(minJaccard)
+      if (!dryRun) sim.markSwept(minJaccard, coveredIds)
       n
     } finally {
       if (dryRun) { sigs.unpersist(); () }
@@ -504,16 +563,18 @@ object Dedup {
   /** The sweep tail generalized over the index being maintained: pairs →
     * components → pinned victims → bulk delete. Shared by the text store
     * and [[IvfIndex.sweep]] so the crash/dry-run discipline cannot drift:
-    * a count-only audit (dryRun with no explicit dir) must not WRITE into
-    * anything — an auditor may have read-only access — so it pins with
-    * localCheckpoint; every applying sweep pins as parquet (survives
-    * executor loss; an applying sweep writes tombstones anyway). A killed
-    * applying sweep can leave a graft-sweep-* dir behind; it is inert and
-    * safe to delete. */
+    * a dry run must not WRITE into anything — an auditor may have
+    * read-only access, and the "WRITES NOTHING" contract holds regardless
+    * of a supplied `checkpointDir` (the dir is an execution-durability
+    * knob for APPLYING sweeps, not an opt-out of the audit guarantee) —
+    * so it pins with localCheckpoint; every applying sweep pins as parquet
+    * (survives executor loss; an applying sweep writes tombstones anyway).
+    * A killed applying sweep can leave a graft-sweep-* dir behind; it is
+    * inert and safe to delete. */
   private[pipeline] def applySweepTo(spark: org.apache.spark.sql.SparkSession,
       baseDir: String, deleteFn: DataFrame => Unit, pairs: DataFrame,
       dryRun: Boolean, checkpointDir: Option[String]): Long = {
-    if (dryRun && checkpointDir.isEmpty)
+    if (dryRun)
       return dupGroups(pairs)
         .filter(col("doc_id") =!= col("keep_id"))
         .count()

@@ -97,11 +97,14 @@ class IvfIndex private (val spark: SparkSession, val dir: String,
     * audit for `dryRun` with no explicit dir. Returns the number of
     * vectors swept. */
   def sweep(tau: Double, dryRun: Boolean = false, exact: Boolean = false,
-            nBits: Int = 16, bands: Int = 4, seed: Long = 42L,
+            nBits: Int = Similarity.DefaultLshBits,
+            bands: Int = Similarity.DefaultLshBands, seed: Long = 42L,
+            maxBucketDf: Long = Similarity.DefaultMaxBucketDf,
             checkpointDir: Option[String] = None): Long = {
     val vecs = live.select(col("vec_id"), col("cv").as("embedding"))
     val pairs = Similarity.embeddingDupPairs(vecs, tau, exact = exact,
-      nBits = nBits, bands = bands, dim = centroids.head.length, seed = seed)
+      nBits = nBits, bands = bands, dim = centroids.head.length, seed = seed,
+      maxBucketDf = maxBucketDf)
     Dedup.applySweepTo(spark, dir, delete, pairs, dryRun, checkpointDir)
   }
 

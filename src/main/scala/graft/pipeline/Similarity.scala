@@ -45,45 +45,106 @@ object Similarity {
 
   /** Seeded random hyperplanes: nBits × dim doubles (driver-side literals,
     * broadcast inside the plan as array literals). */
-  private[pipeline] def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-random-projection signature: one long with nBits sign bits. */
-  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
+  /** Sign-random-projection signature: one long with nBits sign bits
+    * (≤ 64 — wider schemes use [[bandKeyCols]] directly, which never packs
+    * more than one band into a long). */
+  def lshSignature(v: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.length <= 64, "lshSignature packs into one long; use bandKeyCols")
     planes.zipWithIndex.map { case (p, i) =>
       val proj = dot(v, array(p.map(lit(_)): _*))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+  }
 
-  /** LSH-bucketed approximate top-k: vectors are bucketed by `bands` b-bit
-    * slices of a sign-projection signature; each query only scores vectors
-    * sharing ≥1 band bucket. Recall is tunable via nBits/bands; candidates
-    * per bucket stay bounded, so the join never goes quadratic.
+  /** Per-band sign-projection keys: band `b`'s key is built from ITS OWN
+    * `nBits/bands` hyperplanes, so the total plane count is unbounded by
+    * any single long's width (the packed-signature shortcut caps a scheme
+    * at 64 bits — too few for scale-safe keys × enough bands, see
+    * [[DefaultLshBits]]). */
+  private[pipeline] def bandKeyCols(v: Column, planes: Array[Array[Double]],
+                                    bands: Int): Seq[Column] = {
+    val bits = planes.length / bands
+    (0 until bands).map { b =>
+      (0 until bits).map { i =>
+        val proj = dot(v, array(planes(b * bits + i).map(lit(_)): _*))
+        when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+  }
+
+  /** Default sign-projection scheme: 12 bands × 16-bit keys (192 planes).
+    * Key width is the SCALE knob: a band key space of 2^16 holds the
+    * expected bucket size at 10^9 vectors to ~15k (under the
+    * [[DefaultMaxBucketDf]] cap), where the 4-bit keys of a 16-bit/4-band
+    * scheme put EVERY vector into one of 16 buckets per band — a
+    * guaranteed-quadratic self-join at any real corpus size. Band count is
+    * the RECALL knob: P[some band agrees] at cosine τ is
+    * 1 − (1 − (1 − θ/π)^bits)^bands with θ = arccos τ, ≈ 0.91 for τ = 0.95
+    * under this default (≈ 0.56 under 4 × 16-bit — widening keys without
+    * adding bands trades recall away). */
+  val DefaultLshBits: Int = 192
+
+  /** Default band count for [[DefaultLshBits]]. */
+  val DefaultLshBands: Int = 12
+
+  /** Default per-bucket df cap for LSH candidate generation — the
+    * [[Dedup.DefaultMaxBlockDf]] discipline applied to sign-projection
+    * buckets: a (band, key) bucket shared by more vectors than this would
+    * make the bucket self-join quadratic in its size (10^5 ⇒ ≤ 10^10 pair
+    * candidates from one bucket — already the ceiling). A bucket this hot
+    * under 16-bit keys means degenerately clustered vectors (mass-duplicate
+    * embeddings), which exact dedup should have removed first; recall on
+    * pairs whose ONLY agreeing band was a capped bucket is sacrificed
+    * knowingly. Pass 0 to disable. */
+  val DefaultMaxBucketDf: Long = 100000
+
+  /** `(band, bkey, <id>, <vec>)` bucket rows for a vector frame, hot
+    * buckets dropped past `maxBucketDf` — the shared candidate-generation
+    * front half of [[lshTopK]] and [[embeddingDupPairs]], exposed for
+    * bucket-size audits. */
+  private[graft] def lshBucketRows(df: DataFrame, idAs: String, vAs: String,
+      planes: Array[Array[Double]], bands: Int,
+      maxBucketDf: Long): DataFrame = {
+    val rows = df
+      .select(col("vec_id").as(idAs), asDouble(col("embedding")).as(vAs))
+      .select(col(idAs), col(vAs),
+        posexplode(array(bandKeyCols(col(vAs), planes, bands): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    if (maxBucketDf <= 0) rows
+    else {
+      val hot = rows.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("bdf")).filter(col("bdf") > maxBucketDf)
+        .select("band", "bkey")
+      rows.join(hot, Seq("band", "bkey"), "left_anti")
+    }
+  }
+
+  /** LSH-bucketed approximate top-k: vectors are bucketed by `bands`
+    * sign-projection band keys ([[bandKeyCols]]); each query only scores
+    * vectors sharing ≥1 band bucket. Recall is tunable via nBits/bands
+    * (see [[DefaultLshBits]] for the math); `maxBucketDf` caps hot
+    * buckets (computed over the CORPUS side — queries in a capped bucket
+    * knowingly lose those candidates), so the join never goes quadratic.
     * Output: (qid, vec_id, cos, rank ≤ k). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nBits: Int = 16, bands: Int = 4, dim: Int = 64,
-              seed: Long = 42L, excludeSelf: Boolean = true,
-              maxBroadcastQueries: Long = DefaultMaxBroadcastQueries): DataFrame = {
+              nBits: Int = DefaultLshBits, bands: Int = DefaultLshBands,
+              dim: Int = 64, seed: Long = 42L, excludeSelf: Boolean = true,
+              maxBroadcastQueries: Long = DefaultMaxBroadcastQueries,
+              maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val planes = hyperplanes(nBits, dim, seed)
-    val bits = nBits / bands
-    val mask = (1L << bits) - 1
-
-    def withBuckets(df: DataFrame, idAs: String, vAs: String): DataFrame = {
-      val sig = lshSignature(asDouble(col("embedding")), planes)
-      df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as(vAs),
-          sig.as("sig"))
-        .select(col(idAs), col(vAs), posexplode(
-          array((0 until bands).map(bnd =>
-            shiftright(col("sig"), bnd * bits).bitwiseAND(lit(mask))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    }
-
-    val qb = maybeBroadcast(withBuckets(queries, "qid", "qv"),
+    // the query side is never capped: its buckets are bounded by the query
+    // batch itself, and dropping a query's bucket would silently drop the
+    // query; the corpus-side cap is what bounds the join
+    val qb = maybeBroadcast(
+      lshBucketRows(queries, "qid", "qv", planes, bands, maxBucketDf = 0),
       queries, maxBroadcastQueries)
-    val cb = withBuckets(corpus, "vec_id", "cv")
+    val cb = lshBucketRows(corpus, "vec_id", "cv", planes, bands, maxBucketDf)
     val cand = cb.join(qb, Seq("band", "bkey"))
       .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .select(col("qid"), col("vec_id"), col("qv"), col("cv"))
@@ -193,13 +254,18 @@ object Similarity {
     (model.clusterCenters.map(_.toArray), assigned)
   }
 
-  /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ tau, bucketed
-    * by LSH bands so the pair join is not a cross product. `exact = true`
-    * falls back to the full O(n²) join (tiny inputs / oracle parity). */
+  /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ tau,
+    * bucketed by sign-projection band keys so the pair join is not a cross
+    * product — 16-bit keys × 12 bands by default (see [[DefaultLshBits]]
+    * for the key-width/recall math) with hot buckets df-capped
+    * ([[DefaultMaxBucketDf]]), the same candidate-generation discipline as
+    * every other self-join in [[Dedup]]. `exact = true` falls back to the
+    * full O(n²) join (tiny inputs / oracle parity). */
   def embeddingDupPairs(corpus: DataFrame, tau: Double,
-                        exact: Boolean = false, nBits: Int = 16,
-                        bands: Int = 4, dim: Int = 64,
-                        seed: Long = 42L): DataFrame = {
+                        exact: Boolean = false, nBits: Int = DefaultLshBits,
+                        bands: Int = DefaultLshBands, dim: Int = 64,
+                        seed: Long = 42L,
+                        maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
     if (exact) {
       val a = corpus.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("va"))
       val b = corpus.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("vb"))
@@ -207,16 +273,9 @@ object Similarity {
         .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
         .filter(col("cos") >= tau)
     } else {
+      require(nBits % bands == 0, "bands must divide nBits")
       val planes = hyperplanes(nBits, dim, seed)
-      val bits = nBits / bands
-      val mask = (1L << bits) - 1
-      val sig = lshSignature(asDouble(col("embedding")), planes)
-      val bucketed = corpus
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"), sig.as("sig"))
-        .select(col("vec_id"), col("v"), posexplode(
-          array((0 until bands).map(bnd =>
-            shiftright(col("sig"), bnd * bits).bitwiseAND(lit(mask))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val bucketed = lshBucketRows(corpus, "vec_id", "v", planes, bands, maxBucketDf)
       val l = bucketed.select(col("band"), col("bkey"), col("vec_id").as("id_a"), col("v").as("va"))
       val r = bucketed.select(col("band"), col("bkey"), col("vec_id").as("id_b"), col("v").as("vb"))
       l.join(r, Seq("band", "bkey"))

@@ -58,6 +58,37 @@ object DecontProbe {
       s"every coverable benchmark item must be caught in its source: " +
         s"$nSelf != $nBench - $nUndetectable")
     println(f"[probe] OK: ${n / 1.0}%.0f docs decontaminated against $nBench items")
+
+    // persisted path: one-time shingle-table build (train-proportional),
+    // then repeated reports ride the stored tables — per-report cost is
+    // the bench side plus a single streaming read of the stored shingles,
+    // never a re-tokenize/re-shingle of the corpus
+    locally {
+      import graft.core.CorpusDoc
+      import graft.index.{IndexStore, SimilarityIndex}
+      import spark.implicits._
+      val store = new IndexStore(spark, s"$work/idx",
+        graft.core.IndexConfig(fields = Seq("content")))
+      timed(s"index build ($n docs)")(store.createSegment(
+        spark.read.parquet(s"$work/train")
+          .select(col("doc_id"), lit("r").as("repo"),
+            concat(lit("d/"), col("doc_id")).as("path"), lit("c").as("commit"),
+            lit("en").as("lang"), col("text").as("content")).as[CorpusDoc]))
+      timed("ensureShingles (one-time, train-proportional)")(
+        new SimilarityIndex(store).ensureShingles())
+      def report(tag: String, mod: Long): Long = {
+        val b = spark.read.parquet(s"$work/train")
+          .filter(col("doc_id") % mod === 0)
+          .select((col("doc_id") + 200000000L).as("doc_id"),
+            concat_ws(" ", slice(graft.analysis.Analyzer.tokens(col("text")), 1, 12)).as("text"))
+        timed(s"persisted report ($tag)")(
+          Dedup.contaminationReportPersisted(store, b)._1.count())
+      }
+      val r1 = report("bench = every 100th", 100)
+      val r2 = report("bench = every 200th", 200)
+      println(s"[probe] persisted reports: $r1 / $r2 pairs — stored tables " +
+        "reused, zero re-shingling (compare wall clocks above)")
+    }
     } finally {
       // best-effort: a delete failure must not mask the probe's own
       // diagnostic or skip the session stop

@@ -85,6 +85,75 @@ object IncSweepDrill {
     println(s"[drill] OK: incremental ($sweptInc swept) == from-scratch full " +
       s"($sweptCtl swept), ${incLive.size} live docs identical")
 
+    // ---- maintenance carries (round 5): compact and merge must re-home
+    // the signature tables + watermark, keeping every later sweep
+    // wave-proportional ----
+
+    // COMPACT folds the sweep tombstones and rebuilds the store; the carry
+    // must leave the compacted segment signatured AND swept
+    val (_, tCompact) = timed("compact (carries signatures + watermark)")(
+      store.compact())
+    require(store.stageDone(0, "minhash"),
+      "compact dropped the signature tables")
+    require(new graft.index.SimilarityIndex(store).unsweptSegs(0.5).isEmpty,
+      "compact dropped the sweep watermark")
+    val dups3 = base.filter($"doc_id" % 100 === 0)
+      .map(d => d.copy(doc_id = d.doc_id + 3 * off,
+        content = d.content + " graftdup3 graftdup3"))
+    dups3.write.mode("overwrite").parquet(s"$work/dups3")
+    store.add(spark.read.parquet(s"$work/dups3").as[CorpusDoc])
+    val (swept3, tInc3) = timed("post-compact INCREMENTAL sweep (wave 3)")(
+      Dedup.sweepIndexPersisted(store, minJaccard = 0.5))
+    require(swept3 == waveCount,
+      s"post-compact sweep removed $swept3 of $waveCount wave-3 dups")
+    require(tInc3 < tFull / 2,
+      f"post-compact incremental sweep ($tInc3%.1f s) lost wave-" +
+        f"proportionality (full sweep was $tFull%.1f s) — compact dropped " +
+        "the carried tables?")
+
+    // MERGE between waves: fold two swept micro-segments; the carried
+    // tables keep the NEXT sweep wave-proportional. The two waves carry
+    // synthetic all-unique tokens (zero shared shingles with anything), so
+    // their sweeps delete nothing and leave the store tombstone-free for
+    // the merge after a second compact.
+    timed("compact (fold wave-3 tombstones)")(store.compact())
+    def novelWave(stem: String, offMul: Long) = base
+      .filter($"doc_id" % 200 === 0)
+      .map(d => d.copy(doc_id = d.doc_id + offMul * off,
+        content = (1 to 24).map(j => s"$stem${d.doc_id}x$j").mkString(" ")))
+    store.add(novelWave("novA", 5))
+    require(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 0)
+    store.add(novelWave("novB", 6))
+    require(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 0)
+    val novelCount = 2 * (n / 200 + (if (n % 200 != 0) 1 else 0))
+    val (mergedId, tMerge) = timed("mergeSmallSegments (fold the two waves)")(
+      store.mergeSmallSegments(maxDocs = 2 + n / 100))
+    require(mergedId.isDefined, "merge did not fold the micro-segments")
+    require(store.stageDone(mergedId.get, "minhash"),
+      "merge dropped the carried signature table")
+    require(new graft.index.SimilarityIndex(store).unsweptSegs(0.5).isEmpty,
+      "merge dropped the sweep watermark")
+    val dups4 = base.filter($"doc_id" % 100 === 0)
+      .map(d => d.copy(doc_id = d.doc_id + 7 * off,
+        content = d.content + " graftdup4 graftdup4"))
+    dups4.write.mode("overwrite").parquet(s"$work/dups4")
+    store.add(spark.read.parquet(s"$work/dups4").as[CorpusDoc])
+    val (swept4, tInc4) = timed("post-merge INCREMENTAL sweep (wave 4)")(
+      Dedup.sweepIndexPersisted(store, minJaccard = 0.5))
+    require(swept4 == waveCount,
+      s"post-merge sweep removed $swept4 of $waveCount wave-4 dups")
+    require(tInc4 < tFull / 2,
+      f"post-merge incremental sweep ($tInc4%.1f s) lost wave-" +
+        f"proportionality (full sweep was $tFull%.1f s) — merge dropped " +
+        "the carried tables?")
+    val finalLive = store.liveCorpus().count()
+    require(finalLive == live1Count + novelCount,
+      s"final live $finalLive != ${live1Count + novelCount}")
+    println(f"[drill] OK maintenance carries: compact ${tCompact}%.1f s, " +
+      f"merge ${tMerge}%.1f s; post-compact sweep ${tInc3}%.1f s, " +
+      f"post-merge sweep ${tInc4}%.1f s (full sweep ${tFull}%.1f s) — " +
+      "maintenance never re-signatures the corpus")
+
     org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(work), true)
     spark.stop()

@@ -35,6 +35,20 @@ object RecallProbe {
       val hits = brute.join(lsh, Seq("qid", "vec_id"), "left_semi").count()
       println(s"[probe] $sf lsh nBits=$nb bands=$bd hits=$hits/$n")
     }
+    // add-path: quantizer frozen on 80% of the corpus, the held-out 20%
+    // wave added against the frozen centroids — the q_ann_ivf_recall
+    // incremental scenario. Measures how much frozen-quantizer drift costs.
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("probe-ivf").toString
+      val idx = graft.pipeline.IvfIndex.build(
+        emb.filter(col("vec_id") % 5 =!= 3), dir, nLists = 16, seed = 42L)
+      idx.add(emb.filter(col("vec_id") % 5 === 3).select("vec_id", "embedding"))
+      val got = idx.topK(q, 5, nProbe = 8).select("qid", "vec_id")
+      val hits = brute.join(got, Seq("qid", "vec_id"), "left_semi").count()
+      println(s"[probe] $sf ivf-add80 nLists=16 nProbe=8 hits=$hits/$n")
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
     spark.stop()
   }
 }

@@ -48,6 +48,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getLong(2) == 100000L, "n_dups still counts every member")
     val ids = row.getSeq[Long](3)
     assert(ids == (0L until 8L), s"sample = smallest 8 ids, got $ids")
+    // de-skew: the sample's sort window is partitioned by (sha, SALT), so
+    // the 100k-copy group never serializes its full sort through one task
+    val windows = Dedup.exactGroups(big, maxIdsPerGroup = 8)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec.length
+      }
+    assert(windows.nonEmpty && windows.forall(_ == 2),
+      s"sample window must be salted (2 partition exprs), got $windows")
   }
 
   test("minhash-LSH pairs == exact ngram-jaccard pairs (recall check)") {
@@ -157,6 +166,14 @@ class PipelineSpec extends AnyFunSuite {
     val leftovers = new java.io.File(ckptDir).listFiles()
       .filter(_.getName.startsWith("graft-sweep-"))
     assert(leftovers.isEmpty, s"generated subdir not cleaned: ${leftovers.toSeq}")
+    // a DRY run with an explicit checkpoint dir still writes NOTHING — the
+    // read-only-auditor contract holds regardless of flag combination (the
+    // dir is a durability knob for APPLYING sweeps only)
+    val auditDir = TestSpark.tempDir("sweep-audit")
+    assert(Dedup.sweepIndex(store, minJaccard = 0.5, dryRun = true,
+      checkpointDir = Some(auditDir)) == 0)
+    assert(new java.io.File(auditDir).listFiles().isEmpty,
+      "dry run wrote into the checkpoint dir")
   }
 
   test("sweepIndexPersisted: incremental sweep signatures only new segments") {
@@ -221,7 +238,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("refusing to mix"))
   }
 
-  test("signature index survives segment maintenance: merge drops old tables, ensure re-signatures") {
+  test("signature tables + sweep watermark are CARRIED through a merge, not recomputed") {
     import graft.core.{CorpusDoc, IndexConfig}
     import graft.index.{IndexStore, SimilarityIndex}
     def doc(i: Int) = CorpusDoc(i.toLong, "r", s"p/$i", "a" * 40, "en",
@@ -233,17 +250,117 @@ class PipelineSpec extends AnyFunSuite {
     // dup-free corpus: sweep signatures both segments, deletes nothing
     assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 0)
     assert(store.stageDone(0, "minhash") && store.stageDone(1, "minhash"))
-    // LSM fold: old segment dirs (and their signature tables) disappear
+    val sim = new SimilarityIndex(store)
+    val before = sim.liveSignatures().select("doc_id", "sig").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    // LSM fold: the folded directories disappear, but their signature
+    // tables are re-homed onto the merged segment (signatures are pure
+    // per-doc functions) and the sweep watermark follows — a merge must
+    // NOT cost a corpus-proportional re-signature on the next sweep
     val merged = store.mergeSmallSegments(maxDocs = 100)
     assert(merged.contains(2))
     assert(!new java.io.File(store.baseDir, "seg-0").exists())
-    // the merged segment is unsigned AND unswept — the next sweep
-    // signatures exactly it and nothing else, still finding no dups
-    val sim = new SimilarityIndex(store)
-    assert(sim.unsweptSegs(0.5) == Seq(2))
+    assert(store.stageDone(2, "minhash"), "merged segment lacks the carried table")
+    assert(sim.unsweptSegs(0.5).isEmpty,
+      "both folded segments were swept — the merged one must inherit the watermark")
+    val after = sim.liveSignatures().select("doc_id", "sig", "seg").collect()
+    assert(after.map(r => (r.getLong(0), r.getSeq[Long](1))).toMap == before,
+      "carried signatures must be value-identical to the originals")
+    assert(after.forall(_.getInt(2) == 2), "provenance re-stamped to the merged id")
+    // the next sweep has nothing unswept: it neither signatures nor pairs
     assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 0)
-    assert(store.stageDone(2, "minhash"))
     assert(store.liveCorpus().count() == 12)
+    // partial-coverage rule: a second merge where one folded segment was
+    // never swept leaves the merged segment unswept (conservative), and a
+    // kind missing on ANY folded segment is not carried
+    store.add(spark.createDataset((12 until 14).map(doc)))
+    val merged2 = store.mergeSmallSegments(maxDocs = 100)
+    assert(merged2.contains(4))
+    assert(new SimilarityIndex(store).unsweptSegs(0.5) == Seq(4),
+      "an unswept folded segment must leave the merged segment unswept")
+    assert(!store.stageDone(4, "minhash"),
+      "carry must be all-or-nothing per kind (seg-3 had no table)")
+    assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 0)
+    assert(store.liveCorpus().count() == 14)
+  }
+
+  test("signature reads: ONE multi-path scan at any segment count; missing tables loud") {
+    import graft.core.{CorpusDoc, IndexConfig}
+    import graft.index.{IndexStore, SimilarityIndex}
+    def doc(i: Int) = CorpusDoc(i.toLong, "r", s"p/$i", "a" * 40, "en",
+      s"scan$i alpha$i beta$i gamma$i delta$i epsilon$i")
+    val store = new IndexStore(spark, TestSpark.tempDir("sig-scan"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(spark.createDataset((0 until 4).map(doc)))
+    (1 until 4).foreach(s => store.add(
+      spark.createDataset((s * 4 until s * 4 + 4).map(doc))))
+    val sim = new SimilarityIndex(store)
+    assert(sim.ensure() == Seq(0, 1, 2, 3))
+    val sigs = sim.signatures()
+    // a micro-batch store accumulates 10^4 segments: the read must be one
+    // multi-path file-source relation, never a per-segment union plan
+    val relations = sigs.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(relations.length == 1,
+      s"expected ONE multi-path scan over 4 segments, got ${relations.length} relations")
+    // provenance comes from the persisted seg column
+    val bySeg = sigs.select("doc_id", "seg").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bySeg.size == 16 && (0 until 16).forall(i => bySeg(i.toLong) == i / 4))
+    // a segment with no persisted table fails loudly on the persisted path
+    // (silently recomputing corpus-scale work per action is worse) and is
+    // computed in-plan under the explicit transientMissing opt-in
+    store.add(spark.createDataset(Seq(doc(99))))
+    val err = intercept[IllegalArgumentException](sim.signatures())
+    assert(err.getMessage.contains("no persisted"))
+    assert(sim.signatures(transientMissing = true).count() == 17)
+  }
+
+  test("persisted decontamination == from-scratch report; train side never re-shingled") {
+    import graft.core.{CorpusDoc, IndexConfig}
+    import graft.index.IndexStore
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(200).cache()
+    val store = new IndexStore(spark, TestSpark.tempDir("decont-store"),
+      IndexConfig(shardSpan = 256, fields = Seq("content")))
+    store.createSegment(docs.select($"doc_id", lit("r").as("repo"),
+      concat(lit("d/"), $"doc_id").as("path"), lit("c").as("commit"),
+      lit("en").as("lang"), $"text".as("content")).as[CorpusDoc])
+    val bench = docs.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 500000).as("doc_id"),
+        concat_ws(" ", slice(graft.analysis.Analyzer.tokens($"text"), 1, 12)).as("text"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // readOnly on a virgin store writes nothing (transient in-plan shingles)
+    val (pRo, cRo) = Dedup.contaminationReportPersisted(store, bench, readOnly = true)
+    val (p0, c0) = Dedup.contaminationReport(docs, bench)
+    assert(norm(pRo.select($"train_id", $"bench_id", round($"containment", 4))) ==
+      norm(p0.select($"train_id", $"bench_id", round($"containment", 4))))
+    assert(!new java.io.File(store.baseDir, "seg-0/shingles").exists())
+    // persisted path: tables written once, identical pairs AND coverage
+    val (p1, c1) = Dedup.contaminationReportPersisted(store, bench)
+    assert(store.stageDone(0, "shingles"))
+    assert(norm(p1.select($"train_id", $"bench_id", round($"containment", 4))) ==
+      norm(p0.select($"train_id", $"bench_id", round($"containment", 4))))
+    assert(norm(c1) == norm(c0))
+    assert(norm(cRo) == norm(c0))
+    // a second report reuses the stored tables (marker untouched)
+    val marker = java.nio.file.Paths.get(store.baseDir,
+      "seg-0", "_checkpoints", "shingles.json")
+    val mtime = java.nio.file.Files.getLastModifiedTime(marker)
+    val (p2, _) = Dedup.contaminationReportPersisted(store, bench)
+    assert(norm(p2.select($"train_id", $"bench_id", round($"containment", 4))) ==
+      norm(p0.select($"train_id", $"bench_id", round($"containment", 4))))
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == mtime,
+      "second report re-shingled an already-covered segment")
+    // shingle-k pinning: a different k must fail loudly, not silently mix
+    val err = intercept[IllegalArgumentException] {
+      Dedup.contaminationReportPersisted(store, bench, k = 4)
+    }
+    assert(err.getMessage.contains("refusing to mix"))
+    docs.unpersist()
+    ()
   }
 
   test("legacy flat similarity.json keeps its MinHash parameter guard after migration") {
@@ -571,6 +688,41 @@ class PipelineSpec extends AnyFunSuite {
     // identical vectors share every band bucket — LSH must find all of them
     assert(injected.subsetOf(lsh))
     assert(lsh.subsetOf(exact))
+  }
+
+  test("embedding LSH: hot buckets df-capped; default keys 16-bit × 12 bands") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new java.util.Random(seed); Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    // 30 copies of one vector share EVERY band bucket (one hot bucket per
+    // band → C(30,2) candidates each); 2 copies of an unrelated vector sit
+    // in their own cold buckets and must survive the cap
+    val emb = ((0 until 30).map(i => (i.toLong, vec(1))) ++
+      Seq((100L, vec(2)), (101L, vec(2)))).toDF("vec_id", "embedding")
+    val capped = Similarity.embeddingDupPairs(emb, tau = 0.99, maxBucketDf = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"cap must drop the hot-vector buckets, keep the cold pair: $capped")
+    val uncapped = Similarity.embeddingDupPairs(emb, tau = 0.99, maxBucketDf = 0)
+      .count()
+    assert(uncapped == 30L * 29 / 2 + 1, s"fixture must be hot uncapped: $uncapped")
+    // default scheme shape: 12 bands whose keys use the full 16-bit space —
+    // the 4-bit keys of the old 16/4 default could never exceed 15
+    val planes = Similarity.hyperplanes(Similarity.DefaultLshBits, 64, 42L)
+    val rows = Similarity.lshBucketRows(emb, "vec_id", "v", planes,
+      Similarity.DefaultLshBands, maxBucketDf = 0)
+    assert(rows.select("band").distinct().count() == Similarity.DefaultLshBands)
+    val maxKey = rows.agg(max($"bkey")).head.getLong(0)
+    assert(maxKey > 255 && maxKey <= 0xFFFF,
+      s"default band keys must span a 16-bit space, max seen $maxKey")
+    // the shipped default cap never fires on the registered dup corpus
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select($"vec_id", $"embedding")
+    val withCopies = e.unionByName(e.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    def pairs(cap: Long) = Similarity.embeddingDupPairs(withCopies, 0.95,
+        maxBucketDf = cap).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Similarity.DefaultMaxBucketDf) == pairs(0))
   }
 
   test("langId recovers planted language markers; und for no hits") {
