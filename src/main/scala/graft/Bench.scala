@@ -89,12 +89,11 @@ object Bench {
                                      topDocs: Map[String, Seq[Long]])
 
   /** Per-level aggregation over the interleaved reps. */
-  private final case class LevelResult(cores: Int, reps: Seq[RepResult]) {
+  private final case class LevelResult(reps: Seq[RepResult]) {
     def buildSecs: Seq[Double] = reps.map(_.buildSec)
     def buildSec: Double = median(buildSecs)
     def queryMsSamples(name: String): Seq[Double] = reps.map(_.queryMs(name))
     def queryMs(name: String): Double = median(queryMsSamples(name))
-    def topDocs(name: String): Seq[Long] = reps.head.topDocs(name)
   }
 
   /** Runs ONE rep at `cores`: fresh session, small untimed warm-up build
@@ -257,9 +256,9 @@ object Bench {
           f"(${nDocs / r.buildSec}%.0f docs/s)")
       }
     }
-    val low = LevelResult(nLow, byLevel(nLow))
-    val high = LevelResult(nHigh, byLevel(nHigh))
-    val peak = LevelResult(nPeak, byLevel(nPeak))
+    val low = LevelResult(byLevel(nLow))
+    val high = LevelResult(byLevel(nHigh))
+    val peak = LevelResult(byLevel(nPeak))
 
     // per-rep paired ratio: rep i's N and 4N builds ran minutes apart in
     // the same VM state, so drift cancels inside each ratio; the median

@@ -84,8 +84,15 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
     val infos = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
+      // DAEMON threads: a read still blocked on the dead FS after the
+      // timeout fired must not keep the JVM alive once the driver exits
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(32, Runtime.getRuntime.availableProcessors * 2))
+        math.min(32, Runtime.getRuntime.availableProcessors * 2),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-listapps")
+          t.setDaemon(true)
+          t
+        })
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
         val futs = appNames().map { name => name -> Future {
@@ -105,7 +112,12 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
               s"${if (stalled.size > 10) s", … ${stalled.size} total" else ""}] " +
               "— filesystem stalled?")
         }
-      } finally pool.shutdown()
+      } finally {
+        // shutdownNow (not shutdown): interrupt the stalled reads too —
+        // plain shutdown only stops NEW submissions and would leak a
+        // blocked thread per timed-out listing in a long-lived server
+        pool.shutdownNow(); ()
+      }
     }
     val plain = infos.collect { case (name, segs, 0L) =>
       (name, segs.size.toLong, segs.map(_.numDocs).sum)

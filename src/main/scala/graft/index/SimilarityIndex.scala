@@ -157,8 +157,13 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
       else Some {
         val read = spark.read.schema(withSeg(schema))
           .parquet(done.map(s => store.segPath(s.id, stage)): _*)
+        // legacy recovery pattern is anchored to the stage-relative tail
+        // (greedy prefix → LAST `seg-<i>/<stage>/` wins): a baseDir that
+        // itself contains a `seg-<digits>` component must not mis-stamp
+        // every row with the path prefix's number
         read.withColumn("seg", coalesce(col("seg"),
-          regexp_extract(input_file_name(), "seg-([0-9]+)/", 1).cast("int")))
+          regexp_extract(input_file_name(), s".*seg-([0-9]+)/$stage/", 1)
+            .cast("int")))
       }
     val transients = missing.map(s => plan(s.id).withColumn("seg", lit(s.id)))
     (persisted.toSeq ++ transients).reduceOption(_ unionByName _)

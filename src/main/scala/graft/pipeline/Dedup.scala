@@ -226,8 +226,16 @@ object Dedup {
                                    readOnly: Boolean = false): (DataFrame, DataFrame) = {
     val sim = new graft.index.SimilarityIndex(store, textField, shingleK = k)
     if (readOnly) sim.validateShingles() else { sim.ensureShingles(); () }
-    val tSh0 = sim.liveShingles(transientMissing = readOnly)
+    val tSh0raw = sim.liveShingles(transientMissing = readOnly)
       .select(col("doc_id").as("train_id"), col("shingle"))
+    // in read-only mode unsigned segments embed the full tokenize+shingle
+    // plan, and the report consumes the train side from several subtrees —
+    // pin it once (write-free, executor memory/disk) rather than
+    // re-shingle the corpus per subtree per action. The persisted path is
+    // NOT pinned: re-reading stored parquet is a cheap streaming scan (2
+    // passes: the df cap and the containment join), while pinning would
+    // copy a corpus-scale table into executor storage.
+    val tSh0 = if (readOnly) tSh0raw.localCheckpoint(true) else tSh0raw
     val bToks = bench
       .select(col("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
       .localCheckpoint(true)
