@@ -179,6 +179,28 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
       df("seg") <= ts("t_max_seg"), "left_anti")
   }
 
+  /** Live values of one kind, optionally PINNING the transient plans:
+    * read-only consumers that feed the kind frame into several plan
+    * subtrees (self-joins, cap aggregations) would otherwise re-run the
+    * corpus-scale tokenize/hash plan of every UNSIGNED segment once per
+    * subtree per action. The pin (`localCheckpoint` — write-free) fires
+    * only when a segment actually lacks its table — a fully-covered store
+    * reads cheap parquet and must not be copied into executor storage —
+    * and is applied BEFORE the tombstone anti-join: `localCheckpoint`'s
+    * `Dataset.rdd` materialization of a join-bearing plan statically zips
+    * stages AQE would re-plan (the failure recorded in
+    * [[graft.pipeline.Dedup.applySweepTo]]'s history); the per-segment
+    * plans themselves are join-free. */
+  private def liveKind(stage: String, schema: StructType,
+                       plan: Int => DataFrame, transientMissing: Boolean,
+                       pinTransient: Boolean): DataFrame = {
+    val values = kindValues(stage, schema, plan, transientMissing)
+    val anyMissing = store.segments.exists(s => !store.stageDone(s.id, stage))
+    val pinned =
+      if (pinTransient && anyMissing) values.localCheckpoint(true) else values
+    tombstoneFilter(pinned)
+  }
+
   // ---------- MinHash tables ----------
 
   private val sigSchema = StructType(Seq(
@@ -216,9 +238,11 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
 
   /** Signatures of LIVE documents only — the same tombstone anti-join
     * semantics as [[IndexStore.liveCorpus]] (a doc deleted at or after its
-    * segment's generation is filtered). */
-  def liveSignatures(transientMissing: Boolean = false): DataFrame =
-    tombstoneFilter(signatures(transientMissing))
+    * segment's generation is filtered). `pinTransient`: see [[liveKind]]. */
+  def liveSignatures(transientMissing: Boolean = false,
+                     pinTransient: Boolean = false): DataFrame =
+    liveKind("minhash", sigSchema, segSignaturePlan, transientMissing,
+      pinTransient)
 
   // ---------- SimHash tables ----------
 
@@ -247,9 +271,12 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
   def simHashValues(transientMissing: Boolean = false): DataFrame =
     kindValues("simhash", simHashSchema, segSimHashPlan, transientMissing)
 
-  /** Live-document SimHash values (tombstone-filtered). */
-  def liveSimHashes(transientMissing: Boolean = false): DataFrame =
-    tombstoneFilter(simHashValues(transientMissing))
+  /** Live-document SimHash values (tombstone-filtered); `pinTransient`:
+    * see [[liveKind]]. */
+  def liveSimHashes(transientMissing: Boolean = false,
+                    pinTransient: Boolean = false): DataFrame =
+    liveKind("simhash", simHashSchema, segSimHashPlan, transientMissing,
+      pinTransient)
 
   // ---------- raw shingle tables ----------
 
@@ -301,9 +328,12 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
   def shingleValues(transientMissing: Boolean = false): DataFrame =
     kindValues("shingles", shingleSchema, segShinglesPlan, transientMissing)
 
-  /** Live-document raw shingles (tombstone-filtered). */
-  def liveShingles(transientMissing: Boolean = false): DataFrame =
-    tombstoneFilter(shingleValues(transientMissing))
+  /** Live-document raw shingles (tombstone-filtered); `pinTransient`:
+    * see [[liveKind]]. */
+  def liveShingles(transientMissing: Boolean = false,
+                   pinTransient: Boolean = false): DataFrame =
+    liveKind("shingles", shingleSchema, segShinglesPlan, transientMissing,
+      pinTransient)
 
   // ---------- sweep watermark ----------
 

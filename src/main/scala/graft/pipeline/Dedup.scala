@@ -226,16 +226,16 @@ object Dedup {
                                    readOnly: Boolean = false): (DataFrame, DataFrame) = {
     val sim = new graft.index.SimilarityIndex(store, textField, shingleK = k)
     if (readOnly) sim.validateShingles() else { sim.ensureShingles(); () }
-    val tSh0raw = sim.liveShingles(transientMissing = readOnly)
+    // pinTransient: in read-only mode an UNSIGNED segment embeds the full
+    // tokenize+shingle plan, consumed by several subtrees — pin it once
+    // (write-free; fires only when a table is actually missing, and
+    // BEFORE the tombstone join — see SimilarityIndex.liveKind). A
+    // fully-covered store reads cheap parquet and is never pinned: the 2
+    // streaming passes (df cap + containment join) beat copying a
+    // corpus-scale table into executor storage.
+    val tSh0 = sim.liveShingles(transientMissing = readOnly,
+        pinTransient = readOnly)
       .select(col("doc_id").as("train_id"), col("shingle"))
-    // in read-only mode unsigned segments embed the full tokenize+shingle
-    // plan, and the report consumes the train side from several subtrees —
-    // pin it once (write-free, executor memory/disk) rather than
-    // re-shingle the corpus per subtree per action. The persisted path is
-    // NOT pinned: re-reading stored parquet is a cheap streaming scan (2
-    // passes: the df cap and the containment join), while pinning would
-    // copy a corpus-scale table into executor storage.
-    val tSh0 = if (readOnly) tSh0raw.localCheckpoint(true) else tSh0raw
     val bToks = bench
       .select(col("doc_id"), Analyzer.tokens(col(textCol)).as("toks"))
       .localCheckpoint(true)
@@ -681,13 +681,14 @@ object Dedup {
                             readOnly: Boolean = false): DataFrame = {
     val sim = new graft.index.SimilarityIndex(store, textField)
     if (readOnly) sim.validateField() else { sim.ensureSimHash(); () }
-    val hs0 = sim.liveSimHashes(transientMissing = readOnly)
-      .select(col("doc_id"), col("simhash"))
     // the hash frame feeds the hot-bucket aggregation AND both sides of
-    // the block self-join; in read-only mode it may embed the full
-    // tokenize+vote plan for unsigned segments — pin it once (write-free,
-    // executor memory/disk) instead of recomputing it per side
-    val hs = if (readOnly) hs0.localCheckpoint(true) else hs0
+    // the block self-join; in read-only mode an unsigned segment embeds
+    // the full tokenize+vote plan — pinTransient pins it once (write-free;
+    // only when a table is actually missing, and before the tombstone
+    // join — see SimilarityIndex.liveKind)
+    val hs = sim.liveSimHashes(transientMissing = readOnly,
+        pinTransient = readOnly)
+      .select(col("doc_id"), col("simhash"))
     simHashPairsFromHashes(hs, maxDist, maxBlockDf)
   }
 

@@ -108,23 +108,23 @@ object Similarity {
     * front half of [[lshTopK]] and [[embeddingDupPairs]], exposed for
     * bucket-size audits.
     *
-    * `pinKeys` materializes the per-vector key projection ONCE
-    * (`localCheckpoint` — executor memory/disk, write-free): the nBits
-    * dim-wide dot products are the dominant cost of the operator, and the
-    * downstream plan consumes this frame from several subtrees (hot-bucket
-    * aggregation, the cap anti-join, both sides of a self-join) that
-    * Catalyst does not share — without the pin each subtree would redo the
-    * full projection over the corpus. The re-evaluated remainder (explode
-    * + filter over pinned key arrays) is cheap. Pass false for a small
-    * (query-batch) side. */
+    * Evaluation-count note: the nBits dim-wide dot products are the
+    * dominant cost. The plan stays LAZY (no checkpoint/persist here: an
+    * eager pin would launch corpus-scale work at plan-construction time,
+    * leak CacheManager entries with no owner to unpersist, and
+    * `localCheckpoint`'s `Dataset.rdd` materialization statically zips
+    * join stages AQE would re-plan — the exact failure recorded in
+    * [[Dedup.applySweepTo]]'s history). The projection is evaluated by the
+    * hot-bucket aggregation and once by the candidate join (whose two
+    * self-join sides canonicalize to one reused exchange) — ~2 passes; a
+    * caller repeating many actions over one corpus should persist its own
+    * vector frame. */
   private[graft] def lshBucketRows(df: DataFrame, idAs: String, vAs: String,
       planes: Array[Array[Double]], bands: Int,
-      maxBucketDf: Long, pinKeys: Boolean = false): DataFrame = {
+      maxBucketDf: Long): DataFrame = {
     val v = asDouble(col("embedding"))
-    val keyed0 = df.select(col("vec_id").as(idAs), v.as(vAs),
-      array(bandKeyCols(v, planes, bands): _*).as("keys"))
-    val keyed = if (pinKeys) keyed0.localCheckpoint(true) else keyed0
-    val rows = keyed
+    val rows = df.select(col("vec_id").as(idAs), v.as(vAs),
+        array(bandKeyCols(v, planes, bands): _*).as("keys"))
       .select(col(idAs), col(vAs), posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     if (maxBucketDf <= 0) rows
@@ -156,10 +156,7 @@ object Similarity {
     val qb = maybeBroadcast(
       lshBucketRows(queries, "qid", "qv", planes, bands, maxBucketDf = 0),
       queries, maxBroadcastQueries)
-    // corpus keys pinned: the hot-bucket agg and the candidate join are
-    // separate subtrees — without the pin each would redo the projection
-    val cb = lshBucketRows(corpus, "vec_id", "cv", planes, bands, maxBucketDf,
-      pinKeys = true)
+    val cb = lshBucketRows(corpus, "vec_id", "cv", planes, bands, maxBucketDf)
     val cand = cb.join(qb, Seq("band", "bkey"))
       .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .select(col("qid"), col("vec_id"), col("qv"), col("cv"))
@@ -290,11 +287,8 @@ object Similarity {
     } else {
       require(nBits % bands == 0, "bands must divide nBits")
       val planes = hyperplanes(nBits, dim, seed)
-      // pinKeys: the frame feeds the hot-bucket agg AND both self-join
-      // sides — the banded path materializes its key projection eagerly
-      // once (this is a maintenance-scan operator, not a lazy view)
       val bucketed = lshBucketRows(corpus, "vec_id", "v", planes, bands,
-        maxBucketDf, pinKeys = true)
+        maxBucketDf)
       val l = bucketed.select(col("band"), col("bkey"), col("vec_id").as("id_a"), col("v").as("va"))
       val r = bucketed.select(col("band"), col("bkey"), col("vec_id").as("id_b"), col("v").as("vb"))
       l.join(r, Seq("band", "bkey"))
