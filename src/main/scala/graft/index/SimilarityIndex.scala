@@ -8,8 +8,9 @@ import org.apache.spark.sql.types._
 
 /** PERSISTED similarity signatures riding the [[IndexStore]] segment
   * layout — maintained like postings, so dedup maintenance stops
-  * re-signaturing the whole corpus per run. Two signature kinds share the
-  * lifecycle:
+  * re-signaturing the whole corpus per run. Three signature kinds share
+  * the lifecycle (MinHash for the incremental sweep, SimHash for stored
+  * Hamming scans, raw shingles for persisted decontamination):
   *
   * {{{
   * base/
@@ -27,9 +28,10 @@ import org.apache.spark.sql.types._
   * exactly the missing segments' tables (through the store's checkpointed
   * stage machinery — same markers, lineage and per-partition metrics as
   * the core build stages); deletes need nothing (reads are
-  * tombstone-filtered like [[IndexStore.liveCorpus]]); a merge/compact
-  * drops the old segment dirs and the next ensure signatures only the
-  * merged output.
+  * tombstone-filtered like [[IndexStore.liveCorpus]]); merge and compact
+  * CARRY the tables and the sweep watermark onto the folded output
+  * ([[carryMerge]] / [[SimilarityIndex.carryThroughCompact]]) — no
+  * maintenance fold re-signatures the corpus.
   *
   * `similarity.json` pins `textField` for BOTH kinds (mixing fields would
   * compare hashes of different content) and the MinHash parameters for the
@@ -68,7 +70,8 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
         (nh.asInt(), n.get("seed").asLong(), n.get("shingleK").asInt())))
     Some(Meta(n.get("textField").asText(), mh, swept,
       Option(n.get("sweptMinJaccard")).map(_.asDouble()),
-      Option(n.get("shingles")).map(_.get("k").asInt())))
+      Option(n.get("shingles")).map(_.get("k").asInt()),
+      Option(n.get("segColumnTables")).exists(_.asBoolean())))
   }
 
   private def writeMeta(m: Meta): Unit = {
@@ -77,9 +80,10 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
       s""","minhash":{"numHashes":$nh,"seed":$sd,"shingleK":$k}"""
     }.getOrElse("")
     val shk = m.shinglesK.map(k => s""","shingles":{"k":$k}""").getOrElse("")
+    val sc = if (m.segColumn) s""","segColumnTables":true""" else ""
     val json =
       s"""{"textField":"${m.textField}",""" +
-      s""""sweptSegs":${m.swept.toSeq.sorted.mkString("[", ",", "]")}$minJ$mh$shk}"""
+      s""""sweptSegs":${m.swept.toSeq.sorted.mkString("[", ",", "]")}$minJ$mh$shk$sc}"""
     val out = fs.create(metaPath, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -132,17 +136,29 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
 
   /** One kind's tables across all committed segments with a `seg`
     * provenance column (explicit schema: no inference job per segment).
-    * Persisted tables are read as ONE multi-path scan — the plan holds a
-    * single file-source relation no matter how many segments exist.
-    * Tables written before the `seg` column was persisted (legacy) read it
-    * as null and recover it from the file path (`seg-<i>/<stage>/…`),
-    * which this layer owns. With `transientMissing`, segments lacking a
-    * table contribute their computation PLAN instead (recomputed per
-    * action, nothing written) — the read-only shape dry-run audits need;
-    * without it a missing table fails loudly (reading a half-covered store
-    * silently would otherwise surface as a confusing path error, or worse,
-    * recompute corpus-scale work per action behind the caller's back —
-    * run `ensure*()` first, or opt into `transientMissing`). */
+    *
+    * On a store whose metadata records the round-5 table layout
+    * (`segColumnTables` — every table persists its own `seg` column),
+    * persisted tables are read as ONE multi-path scan: the plan holds a
+    * single file-source relation no matter how many segments exist, and
+    * because `seg` is a REAL column constant per file, a downstream
+    * `seg ∈ fresh` filter pushes into the scan and prunes whole files via
+    * footer min/max — the incremental sweep's fresh side reads only the
+    * new segments' files. (A derived/path-recovered column would block
+    * that pushdown, which is why the layout is versioned instead of
+    * coalescing a fallback in.) A store whose metadata predates the flag
+    * keeps the per-segment union-of-reads with a literal `seg` — correct
+    * for tables with or without the column, branch-pruned by Catalyst
+    * under seg filters, merely non-scalable past ~10^3 segments (merge
+    * small segments, or re-derive the tables, to upgrade).
+    *
+    * With `transientMissing`, segments lacking a table contribute their
+    * computation PLAN instead (recomputed per action, nothing written) —
+    * the read-only shape dry-run audits need; without it a missing table
+    * fails loudly (reading a half-covered store silently would otherwise
+    * surface as a confusing path error, or worse, recompute corpus-scale
+    * work per action behind the caller's back — run `ensure*()` first, or
+    * opt into `transientMissing`). */
   private def kindValues(stage: String, schema: StructType,
                          plan: Int => DataFrame,
                          transientMissing: Boolean): DataFrame = {
@@ -154,16 +170,15 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
         "transientMissing=true to compute them in-plan without writing)")
     val persisted =
       if (done.isEmpty) None
-      else Some {
-        val read = spark.read.schema(withSeg(schema))
+      else if (readMeta().exists(_.segColumn)) Some {
+        spark.read.schema(withSeg(schema))
           .parquet(done.map(s => store.segPath(s.id, stage)): _*)
-        // legacy recovery pattern is anchored to the stage-relative tail
-        // (greedy prefix → LAST `seg-<i>/<stage>/` wins): a baseDir that
-        // itself contains a `seg-<digits>` component must not mis-stamp
-        // every row with the path prefix's number
-        read.withColumn("seg", coalesce(col("seg"),
-          regexp_extract(input_file_name(), s".*seg-([0-9]+)/$stage/", 1)
-            .cast("int")))
+      }
+      else Some {
+        done.map(s => spark.read.schema(schema)
+            .parquet(store.segPath(s.id, stage))
+            .withColumn("seg", lit(s.id)))
+          .reduce(_ unionByName _)
       }
     val transients = missing.map(s => plan(s.id).withColumn("seg", lit(s.id)))
     (persisted.toSeq ++ transients).reduceOption(_ unionByName _)
@@ -226,7 +241,8 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
         if (m.minhash.isEmpty)
           writeMeta(m.copy(minhash = Some((numHashes, seed, shingleK))))
       case None =>
-        writeMeta(Meta(textField, Some((numHashes, seed, shingleK)), Set.empty, None))
+        writeMeta(Meta(textField, Some((numHashes, seed, shingleK)), Set.empty,
+          None, segColumn = true))
     }
     ensureKind("minhash", segSignaturePlan)
   }
@@ -262,7 +278,8 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
   def ensureSimHash(): Seq[Int] = {
     readMeta() match {
       case Some(m) => checkField(m)
-      case None => writeMeta(Meta(textField, None, Set.empty, None))
+      case None =>
+        writeMeta(Meta(textField, None, Set.empty, None, segColumn = true))
     }
     ensureKind("simhash", segSimHashPlan)
   }
@@ -319,7 +336,8 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
         checkShingles(m)
         if (m.shinglesK.isEmpty) writeMeta(m.copy(shinglesK = Some(shingleK)))
       case None =>
-        writeMeta(Meta(textField, None, Set.empty, None, Some(shingleK)))
+        writeMeta(Meta(textField, None, Set.empty, None, Some(shingleK),
+          segColumn = true))
     }
     ensureKind("shingles", segShinglesPlan)
   }
@@ -425,7 +443,8 @@ object SimilarityIndex {
                                 minhash: Option[(Int, Long, Int)],
                                 swept: Set[Int],
                                 sweptMinJaccard: Option[Double],
-                                shinglesK: Option[Int] = None)
+                                shinglesK: Option[Int] = None,
+                                segColumn: Boolean = false)
 
   /** Merge-fold hook (see [[SimilarityIndex.carryMerge]]): resolves the
     * store's pinned similarity field from `similarity.json` — no metadata

@@ -308,6 +308,14 @@ class PipelineSpec extends AnyFunSuite {
     val bySeg = sigs.select("doc_id", "seg").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(bySeg.size == 16 && (0 until 16).forall(i => bySeg(i.toLong) == i / 4))
+    // fresh-side pruning: seg is a REAL stored column (constant per file),
+    // so the incremental sweep's `seg ∈ fresh` filter pushes into the scan
+    // and prunes whole files via footer min/max — a derived/path-recovered
+    // seg would silently turn the fresh side into a full-table read
+    val freshPlan = sim.signatures().filter(col("seg") === 3)
+      .queryExecution.executedPlan.toString
+    assert(freshPlan.contains("PushedFilters") && freshPlan.contains("EqualTo(seg,3)"),
+      s"seg filter not pushed into the signature scan:\n$freshPlan")
     // a segment with no persisted table fails loudly on the persisted path
     // (silently recomputing corpus-scale work per action is worse) and is
     // computed in-plan under the explicit transientMissing opt-in
