@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes straight to this process's stdout/stderr
+// instead of through sbt's logger: the benchmark/verify mains print
+// machine-readable JSON lines that must arrive WITHOUT an "[info] "
+// prefix for downstream parsers.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -284,6 +284,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.liveCorpus().count() == 14)
   }
 
+  test("compact carries the similarity layer: live signatures + watermark survive the swap") {
+    import graft.core.{CorpusDoc, IndexConfig}
+    import graft.index.{IndexStore, SimilarityIndex}
+    def doc(i: Int) = CorpusDoc(i.toLong, "r", s"p/$i", "a" * 40, "en",
+      s"cpt$i alpha$i beta$i gamma$i delta$i epsilon$i")
+    val store = new IndexStore(spark, TestSpark.tempDir("compact-carry"),
+      IndexConfig(shardSpan = 64, fields = Seq("content")))
+    store.createSegment(spark.createDataset((0 until 8).map(doc)))
+    store.add(spark.createDataset((8 until 12).map(doc)))
+    assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 0)
+    new SimilarityIndex(store).ensureSimHash()
+    store.delete(Seq(3L, 9L))
+    val sim = new SimilarityIndex(store)
+    val liveBefore = sim.liveSignatures().select("doc_id", "sig").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val simhashBefore = sim.liveSimHashes().select("doc_id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(liveBefore.size == 10 && !liveBefore.contains(3L))
+    // compact folds the tombstones and swaps baseDir wholesale — the carry
+    // must re-home the LIVE rows of every covered kind plus the metadata,
+    // or the next sweep would re-signature the compacted corpus
+    store.compact()
+    assert(store.segments.map(_.id) == Seq(0))
+    assert(store.stageDone(0, "minhash") && store.stageDone(0, "simhash"),
+      "compact dropped the signature tables")
+    val after = new SimilarityIndex(store)
+    assert(after.unsweptSegs(0.5).isEmpty,
+      "compact dropped the sweep watermark (all folded segments were swept)")
+    assert(after.liveSignatures().select("doc_id", "sig").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap == liveBefore,
+      "carried signatures must equal the pre-compact live rows")
+    assert(after.liveSimHashes().select("doc_id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap == simhashBefore)
+    // the parameter pin survives too: a mismatched config still fails loudly
+    val err = intercept[IllegalArgumentException] {
+      new SimilarityIndex(store, numHashes = 32).ensure()
+    }
+    assert(err.getMessage.contains("refusing to mix"))
+    // and the next persisted sweep is a no-op, not a re-signature
+    assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 0)
+  }
+
   test("signature reads: ONE multi-path scan at any segment count; missing tables loud") {
     import graft.core.{CorpusDoc, IndexConfig}
     import graft.index.{IndexStore, SimilarityIndex}
