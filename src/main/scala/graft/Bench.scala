@@ -243,22 +243,26 @@ object Bench {
     // interleaved A/B/A ladder: every rep builds once at every level; the
     // level order flips on odd reps so monotonic drift within a rep hits
     // the criterion levels symmetrically
-    val levels = Seq(nLow, nHigh, nPeak)
-    val byLevel = scala.collection.mutable.Map.empty[Int, Vector[RepResult]]
-      .withDefaultValue(Vector.empty)
+    // reps accumulate per level SLOT (low/high/peak index), not per core
+    // count: an A/A validation run (LOW == HIGH) or HIGH == PEAK must keep
+    // the slots' rep vectors separate, or the per-rep zip below would pair
+    // runs from different reps and silently corrupt the paired ratios
+    val levels = Vector(nLow, nHigh, nPeak)
+    val bySlot = Array.fill(levels.size)(Vector.empty[RepResult])
     (0 until math.max(reps, 1)).foreach { rep =>
-      val order = if (rep % 2 == 0) levels else levels.reverse
-      order.foreach { cores =>
-        val r = runRep(cores, s"$work/corpus", s"$work/idx-$cores",
+      val order = if (rep % 2 == 0) levels.indices else levels.indices.reverse
+      order.foreach { slot =>
+        val cores = levels(slot)
+        val r = runRep(cores, s"$work/corpus", s"$work/idx-slot$slot",
           s"$work/warmup", queryReps)
-        byLevel(cores) = byLevel(cores) :+ r
+        bySlot(slot) = bySlot(slot) :+ r
         println(f"[bench] rep $rep local[$cores]: build ${r.buildSec}%.1f s " +
           f"(${nDocs / r.buildSec}%.0f docs/s)")
       }
     }
-    val low = LevelResult(byLevel(nLow))
-    val high = LevelResult(byLevel(nHigh))
-    val peak = LevelResult(byLevel(nPeak))
+    val low = LevelResult(bySlot(0))
+    val high = LevelResult(bySlot(1))
+    val peak = LevelResult(bySlot(2))
 
     // per-rep paired ratio: rep i's N and 4N builds ran minutes apart in
     // the same VM state, so drift cancels inside each ratio; the median
@@ -290,8 +294,8 @@ object Bench {
           s""""$n":${samples(lv.queryMsSamples(n))}""").mkString("{", ",", "}")
     }.mkString(",")
     val corpusBytes = dirBytes(s"$work/corpus")
-    val postingsBytes = dirBytes(s"$work/idx-$nPeak/seg-0/postings")
-    val indexBytes = dirBytes(s"$work/idx-$nPeak") - dirBytes(s"$work/idx-$nPeak/seg-0/corpus")
+    val postingsBytes = dirBytes(s"$work/idx-slot2/seg-0/postings")
+    val indexBytes = dirBytes(s"$work/idx-slot2") - dirBytes(s"$work/idx-slot2/seg-0/corpus")
     val pipelineJson = pipeline.map { case (name, (sec, rows, nd)) =>
       s""""pipeline_${name}_sec":${f(sec)},"pipeline_${name}_docs_per_sec":${f(nd / sec)},"pipeline_${name}_rows":$rows"""
     }.mkString(",")

@@ -21,7 +21,9 @@ import org.apache.spark.sql.SparkSession
   *   corpus through the stored signature table; first run == full sweep.
   *   --checkpoint-dir: the sweep creates, and afterwards deletes, a
   *   generated graft-sweep-* SUBdirectory under d; d itself and its other
-  *   contents are never touched)
+  *   contents are never touched. --dry-run deletes nothing; without
+  *   --checkpoint-dir it also writes nothing, with it the transient pins
+  *   under d make the dry audit executor-loss-safe at scale)
   * spark-submit --class graft.Cli app.jar stream <inputDir> <indexDir> [--checkpoint-dir d]
   * spark-submit --class graft.Cli app.jar curate <docsParquet> <outDir>
   * spark-submit --class graft.Cli app.jar decontaminate <trainParquet|indexDir> <benchParquet> <outDir> [--min-containment 0.8] [--index]

@@ -161,7 +161,16 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
     * opt into `transientMissing`). */
   private def kindValues(stage: String, schema: StructType,
                          plan: Int => DataFrame,
-                         transientMissing: Boolean): DataFrame = {
+                         transientMissing: Boolean): DataFrame =
+    kindValuesWithMissing(stage, schema, plan, transientMissing)._1
+
+  /** [[kindValues]] plus whether any segment lacked its table — computed
+    * from the SAME manifest listing, so [[liveKind]] does not pay a second
+    * full manifest read plus a per-segment stage-marker probe (thousands
+    * of redundant driver-side FS round-trips on a micro-batch store). */
+  private def kindValuesWithMissing(stage: String, schema: StructType,
+                                    plan: Int => DataFrame,
+                                    transientMissing: Boolean): (DataFrame, Boolean) = {
     val (done, missing) = store.segments.partition(s => store.stageDone(s.id, stage))
     require(missing.isEmpty || transientMissing,
       s"similarity index at ${store.baseDir}: segment(s) " +
@@ -181,10 +190,11 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
           .reduce(_ unionByName _)
       }
     val transients = missing.map(s => plan(s.id).withColumn("seg", lit(s.id)))
-    (persisted.toSeq ++ transients).reduceOption(_ unionByName _)
+    val df = (persisted.toSeq ++ transients).reduceOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         withSeg(schema)))
+    (df, missing.nonEmpty)
   }
 
   private def tombstoneFilter(df: DataFrame): DataFrame = {
@@ -209,8 +219,8 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
   private def liveKind(stage: String, schema: StructType,
                        plan: Int => DataFrame, transientMissing: Boolean,
                        pinTransient: Boolean): DataFrame = {
-    val values = kindValues(stage, schema, plan, transientMissing)
-    val anyMissing = store.segments.exists(s => !store.stageDone(s.id, stage))
+    val (values, anyMissing) =
+      kindValuesWithMissing(stage, schema, plan, transientMissing)
     val pinned =
       if (pinTransient && anyMissing) values.localCheckpoint(true) else values
     tombstoneFilter(pinned)

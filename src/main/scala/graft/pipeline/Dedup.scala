@@ -453,7 +453,9 @@ object Dedup {
     * components → tombstone every doc that is not its group's keeper
     * (smallest doc_id), via the distributed bulk delete — the victim id
     * set is a DataFrame end to end and never touches the driver. Returns
-    * the number of docs swept. `dryRun` counts without deleting.
+    * the number of docs swept. `dryRun` counts without deleting (and
+    * without writing unless `checkpointDir` opts into transient pins —
+    * see [[applySweepTo]]).
     *
     * This is the pipeline the reference never had but a training-data
     * corpus needs: dedup feeding index maintenance at table scale. */
@@ -479,9 +481,11 @@ object Dedup {
     * (minJaccard, textField): the watermarked corpus is internally
     * dup-free, so every surviving duplicate pair involves a new doc. The
     * FIRST call (empty watermark) IS the full sweep. Returns the number of
-    * docs swept; `dryRun` counts without deleting and WRITES NOTHING —
-    * missing signature tables are computed transiently in-plan and the
-    * watermark stays untouched. */
+    * docs swept; `dryRun` counts without deleting, leaves the watermark
+    * untouched, and computes missing signature tables transiently in-plan.
+    * A dry run without `checkpointDir` also WRITES NOTHING (auditor-safe);
+    * supplying the dir opts into [[applySweepTo]]'s transient parquet pins
+    * for scale-safe dry audits. */
   def sweepIndexPersisted(store: graft.index.IndexStore,
                           minJaccard: Double = 0.9,
                           textField: String = "content",
@@ -570,19 +574,24 @@ object Dedup {
 
   /** The sweep tail generalized over the index being maintained: pairs →
     * components → pinned victims → bulk delete. Shared by the text store
-    * and [[IvfIndex.sweep]] so the crash/dry-run discipline cannot drift:
-    * a dry run must not WRITE into anything — an auditor may have
-    * read-only access, and the "WRITES NOTHING" contract holds regardless
-    * of a supplied `checkpointDir` (the dir is an execution-durability
-    * knob for APPLYING sweeps, not an opt-out of the audit guarantee) —
-    * so it pins with localCheckpoint; every applying sweep pins as parquet
-    * (survives executor loss; an applying sweep writes tombstones anyway).
-    * A killed applying sweep can leave a graft-sweep-* dir behind; it is
-    * inert and safe to delete. */
+    * and [[IvfIndex.sweep]] so the crash/dry-run discipline cannot drift.
+    * A dry run never deletes and, by DEFAULT, never writes — an auditor
+    * may have read-only access — so without a `checkpointDir` it pins the
+    * component rounds with `localCheckpoint` (write-free, but its
+    * `Dataset.rdd` materialization statically zips join stages AQE would
+    * re-plan — the 200k-doc failure recorded on [[dupGroups]] — and the
+    * pins die with a lost executor, so the write-free audit is a
+    * SMALL-STORE convenience). Passing `checkpointDir` to a dry run opts
+    * OUT of the zero-write guarantee to buy the scale-safe shape: rounds
+    * pin as parquet under a generated `graft-sweep-*` subdirectory that is
+    * removed before returning — transient writes, durable execution.
+    * Every APPLYING sweep pins as parquet (survives executor loss; it
+    * writes tombstones anyway). A killed applying sweep can leave a
+    * graft-sweep-* dir behind; it is inert and safe to delete. */
   private[pipeline] def applySweepTo(spark: org.apache.spark.sql.SparkSession,
       baseDir: String, deleteFn: DataFrame => Unit, pairs: DataFrame,
       dryRun: Boolean, checkpointDir: Option[String]): Long = {
-    if (dryRun)
+    if (dryRun && checkpointDir.isEmpty)
       return dupGroups(pairs)
         .filter(col("doc_id") =!= col("keep_id"))
         .count()

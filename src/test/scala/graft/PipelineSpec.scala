@@ -141,9 +141,24 @@ class PipelineSpec extends AnyFunSuite {
     val store = new IndexStore(spark, TestSpark.tempDir("sweep"),
       IndexConfig(shardSpan = 64, fields = Seq("content")))
     store.createSegment(spark.createDataset(base ++ copies))
-    // dry run counts without deleting
+    // dry run counts without deleting (default: write-free localCheckpoint)
     assert(Dedup.sweepIndex(store, minJaccard = 0.5, dryRun = true) == 2)
     assert(store.liveCorpus().count() == 12)
+    // dry run WITH an explicit checkpoint dir: same count, still zero
+    // deletes — the dir opts into transient parquet pins (the scale-safe
+    // audit shape): rounds pin under a generated graft-sweep-* subdir that
+    // is removed before returning, and pre-existing content survives
+    val auditDir = TestSpark.tempDir("sweep-audit")
+    val auditForeign = java.nio.file.Paths.get(auditDir, "precious.txt")
+    java.nio.file.Files.writeString(auditForeign, "do not delete")
+    assert(Dedup.sweepIndex(store, minJaccard = 0.5, dryRun = true,
+      checkpointDir = Some(auditDir)) == 2)
+    assert(store.liveCorpus().count() == 12, "dry run deleted docs")
+    assert(java.nio.file.Files.exists(auditForeign),
+      "dry run destroyed pre-existing content of the shared checkpoint dir")
+    assert(new java.io.File(auditDir).listFiles()
+      .filter(_.getName.startsWith("graft-sweep-")).isEmpty,
+      "dry-run transient pins not cleaned up")
     // real sweep: the higher-id copies are tombstoned, keepers survive
     assert(Dedup.sweepIndex(store, minJaccard = 0.5) == 2)
     val live = store.liveCorpus().select("doc_id").collect().map(_.getLong(0)).toSet
@@ -166,14 +181,6 @@ class PipelineSpec extends AnyFunSuite {
     val leftovers = new java.io.File(ckptDir).listFiles()
       .filter(_.getName.startsWith("graft-sweep-"))
     assert(leftovers.isEmpty, s"generated subdir not cleaned: ${leftovers.toSeq}")
-    // a DRY run with an explicit checkpoint dir still writes NOTHING — the
-    // read-only-auditor contract holds regardless of flag combination (the
-    // dir is a durability knob for APPLYING sweeps only)
-    val auditDir = TestSpark.tempDir("sweep-audit")
-    assert(Dedup.sweepIndex(store, minJaccard = 0.5, dryRun = true,
-      checkpointDir = Some(auditDir)) == 0)
-    assert(new java.io.File(auditDir).listFiles().isEmpty,
-      "dry run wrote into the checkpoint dir")
   }
 
   test("sweepIndexPersisted: incremental sweep signatures only new segments") {
