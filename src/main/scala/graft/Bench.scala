@@ -280,17 +280,28 @@ object Bench {
 
     def f(d: Double): String = f"$d%.3f"
     def samples(xs: Seq[Double]): String = xs.map(f).mkString("[", ",", "]")
+    // JSON keys are per-SLOT, like the rep bookkeeping above: an A/A
+    // validation run (LOW == HIGH, or HIGH == PEAK) must not emit the
+    // same "<cores>c" key twice — a JSON parser keeps only the last
+    // occurrence and one slot's record silently vanishes — so colliding
+    // core counts get a slot-name suffix
+    val slotLabels = {
+      val raw = Seq(s"${nLow}c", s"${nHigh}c", s"${nPeak}c")
+      if (raw.distinct.size == raw.size) raw
+      else raw.zip(Seq("low", "high", "peak")).map { case (r, s) => s"${r}_$s" }
+    }
     val queriesJson = (
       allQueryNames.map(n => s""""q_$n":${f(peak.queryMs(n) / 1000)}""") ++
-      Seq(s""""index_build_${nLow}c":${f(low.buildSec)}""",
-          s""""index_build_${nHigh}c":${f(high.buildSec)}""",
-          s""""index_build_${nPeak}c":${f(peak.buildSec)}""")
+      Seq(s""""index_build_${slotLabels(0)}":${f(low.buildSec)}""",
+          s""""index_build_${slotLabels(1)}":${f(high.buildSec)}""",
+          s""""index_build_${slotLabels(2)}":${f(peak.buildSec)}""")
     ).mkString("{", ",", "}")
     // per-query per-rep medians (ms) at every level: the dispersion record
     // that distinguishes a real query regression from VM noise
-    val querySamplesJson = Seq(nLow -> low, nHigh -> high, nPeak -> peak).map {
-      case (c, lv) =>
-        s""""query_ms_samples_${c}c":""" + allQueryNames.map(n =>
+    val querySamplesJson = Seq(slotLabels(0) -> low, slotLabels(1) -> high,
+        slotLabels(2) -> peak).map {
+      case (label, lv) =>
+        s""""query_ms_samples_$label":""" + allQueryNames.map(n =>
           s""""$n":${samples(lv.queryMsSamples(n))}""").mkString("{", ",", "}")
     }.mkString(",")
     val corpusBytes = dirBytes(s"$work/corpus")
@@ -304,12 +315,12 @@ object Bench {
       s""""queries":$queriesJson,"sf":"$sfDir",""" +
       s""""bench_docs":$nDocs,"build_reps":$reps,"query_reps":$queryReps,""" +
       s""""protocol":"interleaved_reps_alternating_order",""" +
-      s""""docs_per_sec_${nLow}c":${f(nDocs / low.buildSec)},""" +
-      s""""docs_per_sec_${nHigh}c":${f(nDocs / high.buildSec)},""" +
-      s""""docs_per_sec_${nPeak}c":${f(nDocs / peak.buildSec)},""" +
-      s""""build_secs_${nLow}c":${samples(low.buildSecs)},""" +
-      s""""build_secs_${nHigh}c":${samples(high.buildSecs)},""" +
-      s""""build_secs_${nPeak}c":${samples(peak.buildSecs)},""" +
+      s""""docs_per_sec_${slotLabels(0)}":${f(nDocs / low.buildSec)},""" +
+      s""""docs_per_sec_${slotLabels(1)}":${f(nDocs / high.buildSec)},""" +
+      s""""docs_per_sec_${slotLabels(2)}":${f(nDocs / peak.buildSec)},""" +
+      s""""build_secs_${slotLabels(0)}":${samples(low.buildSecs)},""" +
+      s""""build_secs_${slotLabels(1)}":${samples(high.buildSecs)},""" +
+      s""""build_secs_${slotLabels(2)}":${samples(peak.buildSecs)},""" +
       s""""scaling_pair":"${nLow}->${nHigh}",""" +
       s""""scaling_efficiency":${f(efficiency)},""" +
       s""""scaling_efficiency_basis":"median_of_${reps}_per_rep_paired_ratios",""" +
@@ -318,7 +329,7 @@ object Bench {
       s""""rank_identical_across_levels":$rankIdentical,""" +
       s""""corpus_bytes":$corpusBytes,"postings_bytes":$postingsBytes,""" +
       s""""index_bytes_total":$indexBytes,$pipelineJson,$querySamplesJson,""" +
-      s""""query_p50_ms_${nPeak}c":${f(median(allQueryNames.map(peak.queryMs)))}}"""
+      s""""query_p50_ms_${slotLabels(2)}":${f(median(allQueryNames.map(peak.queryMs)))}}"""
 
     val md =
       s"""# BENCH — index-build throughput + BM25 query latency

@@ -219,6 +219,24 @@ class PipelineSpec extends AnyFunSuite {
     // dry run counts but advances NO watermark and deletes nothing
     assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5, dryRun = true) == 1)
     assert(store.liveCorpus().count() == 12)
+    // persisted dry run WITH a checkpoint dir (the CLI combination
+    // `dedup --incremental --dry-run --checkpoint-dir d`): same count via
+    // transient parquet pins — no deletes, no watermark advance, seg-1's
+    // signature table still NOT persisted (stays transient in-plan), the
+    // generated graft-sweep-* subdir cleaned, foreign dir content intact
+    val auditDir = TestSpark.tempDir("sweep-inc-audit")
+    val auditForeign = java.nio.file.Paths.get(auditDir, "precious.txt")
+    java.nio.file.Files.writeString(auditForeign, "do not delete")
+    assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5, dryRun = true,
+      checkpointDir = Some(auditDir)) == 1)
+    assert(store.liveCorpus().count() == 12, "dry run deleted docs")
+    assert(!new java.io.File(store.baseDir, "seg-1/minhash").exists(),
+      "dry run persisted a signature table")
+    assert(java.nio.file.Files.exists(auditForeign),
+      "dry run destroyed pre-existing checkpoint-dir content")
+    assert(new java.io.File(auditDir).listFiles()
+      .filter(_.getName.startsWith("graft-sweep-")).isEmpty,
+      "dry-run transient pins not cleaned up")
     // real incremental sweep: only the duplicate of doc 5 goes
     assert(Dedup.sweepIndexPersisted(store, minJaccard = 0.5) == 1)
     val live = store.liveCorpus().select("doc_id").collect().map(_.getLong(0)).toSet
