@@ -26,7 +26,20 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
     * for any healthy filesystem (10^4 manifest reads finish in seconds on
     * object stores), tight enough that a dead remote FS fails the listing
     * with a diagnosis instead of hanging it forever. */
-  private val ListTimeout = scala.concurrent.duration.Duration(10, "min")
+  /** Floor for [[listTimeout]]: a small catalog on a healthy FS finishes
+    * in seconds, so ten minutes only ever signals a stall. */
+  private val ListTimeoutFloor = scala.concurrent.duration.Duration(10, "min")
+
+  /** Stall deadline for the listApps metadata fan-out, scaled to the work:
+    * a fixed ceiling fails HEALTHY large catalogs (10^4 apps on a
+    * throttled object store at ~0.5 s/app over an 8-thread pool needs
+    * ~10 min of legitimate wall time), while no deadline at all hangs the
+    * listing on one dead FS probe. Budget 2 s per app per pool thread —
+    * an order of magnitude over observed healthy reads — on top of the
+    * floor. */
+  private def listTimeout(nApps: Int, poolSize: Int) =
+    ListTimeoutFloor.max(scala.concurrent.duration.Duration(
+      2L * nApps / math.max(poolSize, 1) + 60, "s"))
 
   /** App names must be path-safe (one directory level; "." and ".." would
     * escape the namespace — dropApp("..") must never delete the parent) and
@@ -86,8 +99,9 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
       import scala.concurrent.duration._
       // DAEMON threads: a read still blocked on the dead FS after the
       // timeout fired must not keep the JVM alive once the driver exits
+      val poolSize = math.min(32, Runtime.getRuntime.availableProcessors * 2)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(32, Runtime.getRuntime.availableProcessors * 2),
+        poolSize,
         (r: Runnable) => {
           val t = new Thread(r, "graft-listapps")
           t.setDaemon(true)
@@ -95,7 +109,9 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
         })
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
-        val futs = appNames().map { name => name -> Future {
+        val names = appNames()
+        val deadline = listTimeout(names.size, poolSize)
+        val futs = names.map { name => name -> Future {
           // raw constructor, not app(): the listing reads only the manifest's
           // segment list and tombstone footers — both layout-independent — so
           // open()'s extra per-app manifest probe would double the driver-side
@@ -103,12 +119,12 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
           val store = new IndexStore(spark, s"$rootDir/$name", cfg)
           (name, store.segments, store.tombstoneCount())
         }}
-        try Await.result(Future.sequence(futs.map(_._2)), ListTimeout)
+        try Await.result(Future.sequence(futs.map(_._2)), deadline)
         catch {
           case _: java.util.concurrent.TimeoutException =>
             val stalled = futs.filterNot(_._2.isCompleted).map(_._1)
             sys.error(s"listApps: metadata reads still pending after " +
-              s"$ListTimeout for apps [${stalled.take(10).mkString(", ")}" +
+              s"$deadline for apps [${stalled.take(10).mkString(", ")}" +
               s"${if (stalled.size > 10) s", … ${stalled.size} total" else ""}] " +
               "— filesystem stalled?")
         }

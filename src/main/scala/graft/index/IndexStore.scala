@@ -307,13 +307,23 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
       "a delete landed during the merge build; merge aborted (uncommitted " +
         "stage dir will be reclaimed by the next build) — run compact()")
     val smallIds = small.map(_.id).toSet
+    // COMMIT the merged segment first: the similarity carry below writes
+    // seg-<newId> tables and advances the sweep watermark, and doing that
+    // before the manifest commit opens a poison window — a crash in
+    // between leaves similarity.json claiming newId is swept/signatured
+    // while the manifest still ends at newId-1, so the NEXT add() would
+    // allocate the same id for a fresh batch that then inherits stale
+    // signatures and sits inside the watermark, silently skipped by every
+    // later sweep. With the manifest committed first, a crash before the
+    // carry merely leaves newId unswept → the next sweep conservatively
+    // re-signatures the merged corpus (slow once, never wrong).
+    writeManifest(all.filterNot(s => smallIds.contains(s.id)) :+ SegmentInfo(newId, numDocs))
     // re-home any persisted similarity tables (and the sweep watermark)
     // onto the merged segment BEFORE the folded directories disappear —
     // signatures are pure per-doc functions, so they survive re-segmenting
     // verbatim; dropping them would make the next dedup sweep re-signature
     // the whole merged corpus
     SimilarityIndex.carryThroughMerge(this, small.map(_.id), newId)
-    writeManifest(all.filterNot(s => smallIds.contains(s.id)) :+ SegmentInfo(newId, numDocs))
     smallIds.foreach(id => fs.delete(p(s"seg-$id"), true))
     Some(newId)
   }

@@ -77,20 +77,25 @@ object Similarity {
     }
   }
 
-  /** Default sign-projection scheme: 12 bands × 16-bit keys (192 planes).
+  /** Default sign-projection scheme: 24 bands × 16-bit keys (384 planes).
     * Key width is the SCALE knob: a band key space of 2^16 holds the
     * expected bucket size at 10^9 vectors to ~15k (under the
     * [[DefaultMaxBucketDf]] cap), where the 4-bit keys of a 16-bit/4-band
     * scheme put EVERY vector into one of 16 buckets per band — a
     * guaranteed-quadratic self-join at any real corpus size. Band count is
     * the RECALL knob: P[some band agrees] at cosine τ is
-    * 1 − (1 − (1 − θ/π)^bits)^bands with θ = arccos τ, ≈ 0.91 for τ = 0.95
-    * under this default (≈ 0.56 under 4 × 16-bit — widening keys without
-    * adding bands trades recall away). */
-  val DefaultLshBits: Int = 192
+    * 1 − (1 − (1 − θ/π)^bits)^bands with θ = arccos τ — ≈ 0.99 for
+    * τ = 0.95 and ≈ 1 for τ ≥ 0.99 under this default. 12 bands would
+    * halve the (map-side, linear) projection cost but drop τ = 0.95
+    * recall to ≈ 0.91 — an un-stated 9% under-deletion for near-dup
+    * sweeps; the legacy 16-bit/4-band scheme reached ≈ 0.985 only by
+    * being quadratic. Recall is the correctness-adjacent knob, so the
+    * default buys it with linear work and leaves cost tuning to callers
+    * passing their own (nBits, bands). */
+  val DefaultLshBits: Int = 384
 
   /** Default band count for [[DefaultLshBits]]. */
-  val DefaultLshBands: Int = 12
+  val DefaultLshBands: Int = 24
 
   /** Default per-bucket df cap for LSH candidate generation — the
     * [[Dedup.DefaultMaxBlockDf]] discipline applied to sign-projection
