@@ -97,8 +97,7 @@ class IvfIndex private (val spark: SparkSession, val dir: String,
     * audit for `dryRun` with no explicit dir. Returns the number of
     * vectors swept. */
   def sweep(tau: Double, dryRun: Boolean = false, exact: Boolean = false,
-            nBits: Int = Similarity.DefaultLshBits,
-            bands: Int = Similarity.DefaultLshBands, seed: Long = 42L,
+            nBits: Int = 0, bands: Int = 0, seed: Long = 42L,
             maxBucketDf: Long = Similarity.DefaultMaxBucketDf,
             checkpointDir: Option[String] = None): Long = {
     val vecs = live.select(col("vec_id"), col("cv").as("embedding"))

@@ -77,25 +77,44 @@ object Similarity {
     }
   }
 
-  /** Default sign-projection scheme: 24 bands × 16-bit keys (384 planes).
-    * Key width is the SCALE knob: a band key space of 2^16 holds the
-    * expected bucket size at 10^9 vectors to ~15k (under the
-    * [[DefaultMaxBucketDf]] cap), where the 4-bit keys of a 16-bit/4-band
-    * scheme put EVERY vector into one of 16 buckets per band — a
-    * guaranteed-quadratic self-join at any real corpus size. Band count is
-    * the RECALL knob: P[some band agrees] at cosine τ is
-    * 1 − (1 − (1 − θ/π)^bits)^bands with θ = arccos τ — ≈ 0.99 for
-    * τ = 0.95 and ≈ 1 for τ ≥ 0.99 under this default. 12 bands would
-    * halve the (map-side, linear) projection cost but drop τ = 0.95
-    * recall to ≈ 0.91 — an un-stated 9% under-deletion for near-dup
-    * sweeps; the legacy 16-bit/4-band scheme reached ≈ 0.985 only by
-    * being quadratic. Recall is the correctness-adjacent knob, so the
-    * default buys it with linear work and leaves cost tuning to callers
-    * passing their own (nBits, bands). */
+  /** Widest sign-projection scheme a tau-blind caller gets: 24 bands ×
+    * 16-bit keys (384 planes). Key width is the SCALE knob: a band key
+    * space of 2^16 holds the expected bucket size at 10^9 vectors to ~15k
+    * (under the [[DefaultMaxBucketDf]] cap), where the 4-bit keys of a
+    * 16-bit/4-band scheme put EVERY vector into one of 16 buckets per
+    * band — a guaranteed-quadratic self-join at any real corpus size.
+    * Band count is the RECALL knob: P[some band agrees] at cosine τ is
+    * 1 − (1 − (1 − θ/π)^bits)^bands with θ = arccos τ. [[lshTopK]] (which
+    * has no τ) uses this scheme as-is — ≈ 0.99 candidate recall at
+    * τ = 0.95; τ-aware callers ([[embeddingDupPairs]]) derive the band
+    * count from τ via [[bandsFor]] instead, capped here. */
   val DefaultLshBits: Int = 384
 
-  /** Default band count for [[DefaultLshBits]]. */
+  /** Band cap for [[DefaultLshBits]] and [[bandsFor]]. */
   val DefaultLshBands: Int = 24
+
+  /** Candidate-recall floor [[bandsFor]] sizes the default scheme to. */
+  val DefaultLshRecall: Double = 0.98
+
+  /** Bands of 16-bit keys needed for candidate recall ≥ `target` at
+    * cosine `tau` — the inversion of the band-agreement formula on
+    * [[DefaultLshBits]], capped at [[DefaultLshBands]]. The map-side
+    * projection cost is linear in the band count, so sizing it to the
+    * threshold makes near-exact sweeps (τ ≈ 0.999 → 3 bands) ~8× cheaper
+    * than the flat cap while τ = 0.95 sweeps still get 20 bands
+    * (recall ≈ 0.98); below τ ≈ 0.93 the cap binds and recall degrades —
+    * callers hunting LOOSE similarity should pass their own scheme (or
+    * use [[IvfIndex]], whose probe search has no banding recall cliff). */
+  private[graft] def bandsFor(tau: Double,
+                              target: Double = DefaultLshRecall): Int = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    val pKey = math.pow(p, 16)
+    if (pKey >= 1.0 - 1e-12) 1
+    else {
+      val b = math.ceil(math.log1p(-target) / math.log1p(-pKey))
+      math.max(1, math.min(DefaultLshBands, b.toInt))
+    }
+  }
 
   /** Default per-bucket df cap for LSH candidate generation — the
     * [[Dedup.DefaultMaxBlockDf]] discipline applied to sign-projection
@@ -273,14 +292,15 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ tau,
     * bucketed by sign-projection band keys so the pair join is not a cross
-    * product — 16-bit keys × 12 bands by default (see [[DefaultLshBits]]
-    * for the key-width/recall math) with hot buckets df-capped
+    * product — by default [[bandsFor]]`(tau)` bands of 16-bit keys (pass
+    * `nBits`/`bands` > 0 to pin a scheme; see [[DefaultLshBits]] for the
+    * key-width/recall math) with hot buckets df-capped
     * ([[DefaultMaxBucketDf]]), the same candidate-generation discipline as
     * every other self-join in [[Dedup]]. `exact = true` falls back to the
     * full O(n²) join (tiny inputs / oracle parity). */
   def embeddingDupPairs(corpus: DataFrame, tau: Double,
-                        exact: Boolean = false, nBits: Int = DefaultLshBits,
-                        bands: Int = DefaultLshBands, dim: Int = 64,
+                        exact: Boolean = false, nBits: Int = 0,
+                        bands: Int = 0, dim: Int = 64,
                         seed: Long = 42L,
                         maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
     if (exact) {
@@ -290,9 +310,11 @@ object Similarity {
         .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
         .filter(col("cos") >= tau)
     } else {
-      require(nBits % bands == 0, "bands must divide nBits")
-      val planes = hyperplanes(nBits, dim, seed)
-      val bucketed = lshBucketRows(corpus, "vec_id", "v", planes, bands,
+      val useBands = if (bands > 0) bands else bandsFor(tau)
+      val useBits = if (nBits > 0) nBits else useBands * 16
+      require(useBits % useBands == 0, "bands must divide nBits")
+      val planes = hyperplanes(useBits, dim, seed)
+      val bucketed = lshBucketRows(corpus, "vec_id", "v", planes, useBands,
         maxBucketDf)
       val l = bucketed.select(col("band"), col("bkey"), col("vec_id").as("id_a"), col("v").as("va"))
       val r = bucketed.select(col("band"), col("bkey"), col("vec_id").as("id_b"), col("v").as("vb"))

@@ -765,7 +765,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
-  test("embedding LSH: hot buckets df-capped; default keys 16-bit × 12 bands") {
+  test("bandsFor: band count tracks tau for >=0.98 candidate recall, capped") {
+    // P[band agrees] = (1 - arccos(tau)/pi)^16; bands = smallest b with
+    // 1-(1-pKey)^b >= 0.98, capped at DefaultLshBands — near-exact sweeps
+    // stay cheap, tau=0.95 keeps its recall, loose tau hits the cap
+    assert(Similarity.bandsFor(1.0) == 1)
+    assert(Similarity.bandsFor(0.999) == 3)
+    assert(Similarity.bandsFor(0.99) == 7)
+    assert(Similarity.bandsFor(0.95) == 20)
+    assert(Similarity.bandsFor(0.5) == Similarity.DefaultLshBands)
+    (1 to 24).foreach { b =>  // monotone: tighter tau never needs more bands
+      assert(Similarity.bandsFor(0.90 + b * 0.004) <= Similarity.bandsFor(0.90))
+    }
+  }
+
+  test("embedding LSH: hot buckets df-capped; band keys span the 16-bit space") {
     def vec(seed: Int): Array[Float] = {
       val r = new java.util.Random(seed); Array.fill(64)(r.nextGaussian().toFloat)
     }
@@ -781,8 +795,8 @@ class PipelineSpec extends AnyFunSuite {
     val uncapped = Similarity.embeddingDupPairs(emb, tau = 0.99, maxBucketDf = 0)
       .count()
     assert(uncapped == 30L * 29 / 2 + 1, s"fixture must be hot uncapped: $uncapped")
-    // default scheme shape: 12 bands whose keys use the full 16-bit space —
-    // the 4-bit keys of the old 16/4 default could never exceed 15
+    // cap-scheme shape: DefaultLshBands bands whose keys use the full
+    // 16-bit space — the 4-bit keys of the old 16/4 default capped at 15
     val planes = Similarity.hyperplanes(Similarity.DefaultLshBits, 64, 42L)
     val rows = Similarity.lshBucketRows(emb, "vec_id", "v", planes,
       Similarity.DefaultLshBands, maxBucketDf = 0)
