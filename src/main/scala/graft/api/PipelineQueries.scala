@@ -59,21 +59,30 @@ object PipelineQueries {
     (docs, bench)
   }
 
+  /** Per-sf-dir memo for the contract's derived artifacts (stores, IVF
+    * indexes, report frames). `TrieMap.getOrElseUpdate` may evaluate a
+    * racing thunk twice, and everything memoized here is expensive (index
+    * build + full sweep) or pins executor storage (eagerly materialized
+    * checkpoint frames with no owner to unpersist a duplicate) — so first
+    * builds are serialized under the instance lock while the built fast
+    * path stays lock-free. One instance per artifact: the race-avoidance
+    * argument lives here, not re-proven per copied boilerplate. */
+  private final class Memo[T] {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, T]
+    def apply(dir: String)(build: => T): T =
+      cache.get(dir).getOrElse(synchronized(cache.getOrElseUpdate(dir, build)))
+  }
+
   /** One decontamination report per sf dir: pairs AND coverage from a
     * single scan of each corpus ([[Dedup.contaminationReport]]) — both
     * driver queries consume the same materialized shingle frames, which is
     * exactly the 1-scan API shape the operator promises. */
-  private val decontCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
-  private val decontLock = new Object
+  private val decontCache = new Memo[(DataFrame, DataFrame)]
   private def decontReport(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    // serialize first builds like the sibling caches: a racing thunk would
-    // eagerly materialize (and pin) a second copy of the shingle frames
-    decontCache.get(dir).getOrElse(decontLock.synchronized(
-      decontCache.getOrElseUpdate(dir, {
-        val (docs, bench) = decontCorpora(s, dir)
-        Dedup.contaminationReport(docs, bench, minContainment = 0.8)
-      })))
+    decontCache(dir) {
+      val (docs, bench) = decontCorpora(s, dir)
+      Dedup.contaminationReport(docs, bench, minContainment = 0.8)
+    }
 
   /** One PERSISTED-table decontamination report per sf dir, like
     * [[decontReport]]: `contaminationReportPersisted` eagerly pins its
@@ -81,16 +90,13 @@ object PipelineQueries {
     * probes/ensures the shared contract store's shingle stage markers —
     * re-running it per evaluation would leak one pinned RDD per call and
     * repeat the metadata pass for an identical result. */
-  private val decontPersistedCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val decontPersistedLock = new Object
+  private val decontPersistedCache = new Memo[DataFrame]
   private def decontPersistedPairs(s: SparkSession, dir: String): DataFrame =
-    decontPersistedCache.get(dir).getOrElse(decontPersistedLock.synchronized(
-      decontPersistedCache.getOrElseUpdate(dir, {
-        val (_, bench) = decontCorpora(s, dir)
-        Dedup.contaminationReportPersisted(
-          QueryRegistry.engineFor(s, dir).store, bench, minContainment = 0.8)._1
-      })))
+    decontPersistedCache(dir) {
+      val (_, bench) = decontCorpora(s, dir)
+      Dedup.contaminationReportPersisted(
+        QueryRegistry.engineFor(s, dir).store, bench, minContainment = 0.8)._1
+    }
 
   /** Shared CTE chain of the decontamination oracles: derived bench corpus
     * → per-side shingles (tsh0/bsh0 raw, tsh/bsh union-df-capped). */
@@ -238,12 +244,9 @@ object PipelineQueries {
   /** One store per sf dir, built from the near-dup derived corpus and swept
     * with [[Dedup.sweepIndex]] (LSH pairs → groups → distributed bulk
     * delete) — the end-to-end dedup-maintains-the-index pipeline. */
-  private val sweepCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IndexStore]
-  private val sweepLock = new Object
+  private val sweepCache = new Memo[graft.index.IndexStore]
   private def sweptStore(s: SparkSession, dir: String): graft.index.IndexStore =
-    // TrieMap.getOrElseUpdate may evaluate a racing thunk twice; this build
-    // is expensive (index build + full sweep), so serialize first builds
-    sweepCache.get(dir).getOrElse(sweepLock.synchronized(sweepCache.getOrElseUpdate(dir, {
+    sweepCache(dir) {
       val corpus = toCorpus(s, nearDupDocs(s, dir))
       val store = new graft.index.IndexStore(s,
         java.nio.file.Files.createTempDirectory("graft-sweep").toString,
@@ -251,7 +254,7 @@ object PipelineQueries {
       store.createSegment(corpus)
       Dedup.sweepIndex(store, minJaccard = 0.5)
       store
-    })))
+    }
 
   /** SQL block computing the post-sweep SURVIVORS of `docs`: every doc
     * except the non-keeper members of each connected Jaccard-≥-minJ
@@ -290,13 +293,11 @@ object PipelineQueries {
   /** One PERSISTED IVF index per sf dir (built once into a temp dir, then
     * re-opened from disk): the recall gate exercises the stored quantizer
     * + cell tables, not a per-call k-means fit. */
-  private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
-  private val ivfLock = new Object
+  private val ivfCache = new Memo[IvfIndex]
   private def ivfIndexFor(s: SparkSession, dir: String): IvfIndex =
-    ivfCache.get(dir).getOrElse(ivfLock.synchronized(ivfCache.getOrElseUpdate(dir,
-      IvfIndex.build(Corpus.embeddings(s, dir),
-        java.nio.file.Files.createTempDirectory("graft-ivf").toString,
-        nLists = 16, seed = 42L))))
+    ivfCache(dir)(IvfIndex.build(Corpus.embeddings(s, dir),
+      java.nio.file.Files.createTempDirectory("graft-ivf").toString,
+      nLists = 16, seed = 42L))
 
   /** One INCREMENTALLY-GROWN persisted IVF index per sf dir: the quantizer
     * is trained on 80% of the corpus (`vec_id % 5 != 3`), then the held-out
@@ -305,19 +306,17 @@ object PipelineQueries {
     * the grown index against brute force over the FULL corpus, bounding
     * frozen-quantizer drift with a red row (measured: recall 0.90 / 1.00 /
     * 0.875 at sf0.001/0.01/0.1, `graft.tools.RecallProbe` ivf-add80). */
-  private val ivfAddCache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
-  private val ivfAddLock = new Object
+  private val ivfAddCache = new Memo[IvfIndex]
   private def ivfAddIndexFor(s: SparkSession, dir: String): IvfIndex =
-    ivfAddCache.get(dir).getOrElse(ivfAddLock.synchronized(
-      ivfAddCache.getOrElseUpdate(dir, {
-        val emb = Corpus.embeddings(s, dir)
-        val idx = IvfIndex.build(emb.filter(col("vec_id") % 5 =!= 3),
-          java.nio.file.Files.createTempDirectory("graft-ivfadd").toString,
-          nLists = 16, seed = 42L)
-        idx.add(emb.filter(col("vec_id") % 5 === 3)
-          .select(col("vec_id"), col("embedding")))
-        idx
-      })))
+    ivfAddCache(dir) {
+      val emb = Corpus.embeddings(s, dir)
+      val idx = IvfIndex.build(emb.filter(col("vec_id") % 5 =!= 3),
+        java.nio.file.Files.createTempDirectory("graft-ivfadd").toString,
+        nLists = 16, seed = 42L)
+      idx.add(emb.filter(col("vec_id") % 5 === 3)
+        .select(col("vec_id"), col("embedding")))
+      idx
+    }
 
   /** DuckDB expression replaying [[TextAnalysis.BpeMerges]] in rank order
     * over a pre-token column `t` (wrapped-symbol replace encoding — the
@@ -354,40 +353,35 @@ object PipelineQueries {
     * `add()` a second dup wave, persisted sweep again — the second sweep
     * signatures ONLY the added segment and pairs it against the live
     * corpus through the stored signature table. */
-  private val sweepIncCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.index.IndexStore]
-  private val sweepIncLock = new Object
+  private val sweepIncCache = new Memo[graft.index.IndexStore]
   private def sweptIncStore(s: SparkSession, dir: String): graft.index.IndexStore =
-    sweepIncCache.get(dir).getOrElse(sweepIncLock.synchronized(
-      sweepIncCache.getOrElseUpdate(dir, {
-        val store = new graft.index.IndexStore(s,
-          java.nio.file.Files.createTempDirectory("graft-sweepinc").toString,
-          graft.core.IndexConfig(shardSpan = 256, fields = Seq("content")))
-        store.createSegment(toCorpus(s, nearDupDocs(s, dir)))
-        Dedup.sweepIndexPersisted(store, minJaccard = 0.5)
-        val dup2 = Corpus.documents(s, dir).filter(col("doc_id") % 20 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" graftdup2 graftdup2")).as("text"))
-        store.add(toCorpus(s, dup2))
-        Dedup.sweepIndexPersisted(store, minJaccard = 0.5)
-        store
-      })))
+    sweepIncCache(dir) {
+      val store = new graft.index.IndexStore(s,
+        java.nio.file.Files.createTempDirectory("graft-sweepinc").toString,
+        graft.core.IndexConfig(shardSpan = 256, fields = Seq("content")))
+      store.createSegment(toCorpus(s, nearDupDocs(s, dir)))
+      Dedup.sweepIndexPersisted(store, minJaccard = 0.5)
+      val dup2 = Corpus.documents(s, dir).filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" graftdup2 graftdup2")).as("text"))
+      store.add(toCorpus(s, dup2))
+      Dedup.sweepIndexPersisted(store, minJaccard = 0.5)
+      store
+    }
 
   /** One SWEPT persisted vector index per sf dir: built from the
     * dup-injected embeddings, then `IvfIndex.sweep` tombstones every
     * non-keeper of each cosine-≥-0.95 component — the vector-index
     * analogue of the text store's dedup sweep. */
-  private val ivfSweepCache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
-  private val ivfSweepLock = new Object
+  private val ivfSweepCache = new Memo[IvfIndex]
   private def sweptIvf(s: SparkSession, dir: String): IvfIndex =
-    ivfSweepCache.get(dir).getOrElse(ivfSweepLock.synchronized(
-      ivfSweepCache.getOrElseUpdate(dir, {
-        val idx = IvfIndex.build(dupEmbeddings(s, dir),
-          java.nio.file.Files.createTempDirectory("graft-ivfsweep").toString,
-          nLists = 16, seed = 42L)
-        idx.sweep(tau = 0.95, exact = true)
-        idx
-      })))
+    ivfSweepCache(dir) {
+      val idx = IvfIndex.build(dupEmbeddings(s, dir),
+        java.nio.file.Files.createTempDirectory("graft-ivfsweep").toString,
+        nLists = 16, seed = 42L)
+      idx.sweep(tau = 0.95, exact = true)
+      idx
+    }
 
   /** Driver-visible recall gate for an approximate ANN operator: runs the
     * ANN plan AND the exact brute-force plan over the same 8 query vectors

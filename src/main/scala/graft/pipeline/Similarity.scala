@@ -69,6 +69,9 @@ object Similarity {
   private[pipeline] def bandKeyCols(v: Column, planes: Array[Array[Double]],
                                     bands: Int): Seq[Column] = {
     val bits = planes.length / bands
+    require(bits <= 64,
+      s"band keys pack into one long: $bits bits/band (${planes.length} " +
+        s"planes / $bands bands) would alias shift counts mod 64")
     (0 until bands).map { b =>
       (0 until bits).map { i =>
         val proj = dot(v, array(planes(b * bits + i).map(lit(_)): _*))
@@ -290,6 +293,24 @@ object Similarity {
     (model.clusterCenters.map(_.toArray), assigned)
   }
 
+  /** `(nBits, bands)` for a possibly half-pinned caller scheme, resolved
+    * so 16-bit keys are preserved: `nBits` alone fixes the plane budget
+    * (bands = nBits/16 — a legacy `nBits = 192` call still means
+    * 12 × 16-bit, NOT [[bandsFor]]`(tau)` bands of whatever width makes
+    * the division work, which could silently widen keys past per-band
+    * usefulness or even the 64-bit pack); `bands` alone sizes the budget
+    * to it; neither → [[bandsFor]]`(tau)` × 16-bit. */
+  private[graft] def resolveScheme(tau: Double, nBits: Int,
+                                   bands: Int): (Int, Int) = {
+    val useBands =
+      if (bands > 0) bands
+      else if (nBits > 0) math.max(1, nBits / 16)
+      else bandsFor(tau)
+    val useBits = if (nBits > 0) nBits else useBands * 16
+    require(useBits % useBands == 0, "bands must divide nBits")
+    (useBits, useBands)
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ tau,
     * bucketed by sign-projection band keys so the pair join is not a cross
     * product — by default [[bandsFor]]`(tau)` bands of 16-bit keys (pass
@@ -310,9 +331,7 @@ object Similarity {
         .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
         .filter(col("cos") >= tau)
     } else {
-      val useBands = if (bands > 0) bands else bandsFor(tau)
-      val useBits = if (nBits > 0) nBits else useBands * 16
-      require(useBits % useBands == 0, "bands must divide nBits")
+      val (useBits, useBands) = resolveScheme(tau, nBits, bands)
       val planes = hyperplanes(useBits, dim, seed)
       val bucketed = lshBucketRows(corpus, "vec_id", "v", planes, useBands,
         maxBucketDf)

@@ -58,8 +58,9 @@ object VecSweepProbe {
 
       val idx = timed(s"IvfIndex.build (${n} + dups)")(
         IvfIndex.build(emb, s"$work/ivf", nLists = 0)) // √n cells
-      // LSH-mode sweep, defaults (16-bit × 12 bands), cap above the
-      // cluster so its 1,999 victims are sweepable
+      // LSH-mode sweep, tau-adaptive default scheme (bandsFor(0.999) = 3
+      // bands of 16-bit keys), cap above the cluster so its 1,999 victims
+      // are sweepable
       val swept = timed("LSH sweep tau=0.999 (default scheme)")(
         idx.sweep(tau = 0.999))
       require(swept >= nCopies + 1999,

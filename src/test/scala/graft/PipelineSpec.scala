@@ -774,9 +774,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.bandsFor(0.99) == 7)
     assert(Similarity.bandsFor(0.95) == 20)
     assert(Similarity.bandsFor(0.5) == Similarity.DefaultLshBands)
-    (1 to 24).foreach { b =>  // monotone: tighter tau never needs more bands
-      assert(Similarity.bandsFor(0.90 + b * 0.004) <= Similarity.bandsFor(0.90))
+    // monotone pairwise across the working range: tighter tau never needs
+    // more bands (comparing against the capped 0.90 value would be vacuous)
+    (900 to 999).map(_ / 1000.0).sliding(2).foreach { w =>
+      assert(Similarity.bandsFor(w(1)) <= Similarity.bandsFor(w(0)),
+        s"bandsFor not monotone between ${w(0)} and ${w(1)}")
     }
+    // scheme resolution: a half-pinned legacy call (nBits only) keeps
+    // 16-bit keys — bands follow the plane budget, NOT bandsFor(tau)
+    // (which would widen keys to nBits/bandsFor(tau) bits, collapsing
+    // per-band agreement or aliasing past the 64-bit pack)
+    assert(Similarity.resolveScheme(0.999, 192, 0) == ((192, 12)))
+    assert(Similarity.resolveScheme(0.999, 0, 5) == ((80, 5)))
+    assert(Similarity.resolveScheme(0.999, 0, 0) == ((48, 3)))
+    assert(Similarity.resolveScheme(0.999, 192, 12) == ((192, 12)))
   }
 
   test("embedding LSH: hot buckets df-capped; band keys span the 16-bit space") {
