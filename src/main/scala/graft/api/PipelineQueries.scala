@@ -603,7 +603,8 @@ object PipelineQueries {
       ivfAddIndexFor(s, dir).topK(q, k = 5, nProbe = 8)),
 
     annRecallQuery("q_ann_lsh_recall", (_, _, emb, q) =>
-      Similarity.lshTopK(q, emb, k = 5, nBits = 16, bands = 8)),
+      Similarity.lshTopK(q, emb, k = 5, nBits = 16, bands = 8,
+        maxBucketDf = 0)),  // 2-bit keys on a tiny gate corpus: cap disabled
 
     QueryDef("q_lang_id",
       (s, dir) => {

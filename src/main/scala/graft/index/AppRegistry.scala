@@ -22,10 +22,6 @@ class AppRegistry(val spark: SparkSession, val rootDir: String,
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(rootDir).getFileSystem(hconf)
 
-  /** Upper bound on the whole catalog-listing metadata fan-out — generous
-    * for any healthy filesystem (10^4 manifest reads finish in seconds on
-    * object stores), tight enough that a dead remote FS fails the listing
-    * with a diagnosis instead of hanging it forever. */
   /** Floor for [[listTimeout]]: a small catalog on a healthy FS finishes
     * in seconds, so ten minutes only ever signals a stall. */
   private val ListTimeoutFloor = scala.concurrent.duration.Duration(10, "min")

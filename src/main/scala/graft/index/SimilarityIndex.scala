@@ -149,8 +149,10 @@ class SimilarityIndex(val store: IndexStore, val textField: String = "content",
     * coalescing a fallback in.) A store whose metadata predates the flag
     * keeps the per-segment union-of-reads with a literal `seg` — correct
     * for tables with or without the column, branch-pruned by Catalyst
-    * under seg filters, merely non-scalable past ~10^3 segments (merge
-    * small segments, or re-derive the tables, to upgrade).
+    * under seg filters, merely non-scalable past ~10^3 segments.
+    * `IndexStore.compact()` IS the upgrade: it rewrites every table with
+    * the column and flips the flag (see [[carryThroughCompact]]); a merge
+    * only rewrites the folded segments, so it cannot flip it.
     *
     * With `transientMissing`, segments lacking a table contribute their
     * computation PLAN instead (recomputed per action, nothing written) —
@@ -498,8 +500,13 @@ object SimilarityIndex {
         }
       }
       val allSwept = oldIds.nonEmpty && oldIds.forall(m.swept)
+      // a compact is also the LAYOUT UPGRADE for a pre-flag store: every
+      // table in the new store was either just rewritten above (seg column
+      // persisted) or does not exist yet (ensureKind always writes the
+      // column), so the multi-path read is unconditionally safe from here
       new SimilarityIndex(tmpStore, m.textField)
-        .writeMeta(m.copy(swept = if (allSwept) Set(0) else Set.empty))
+        .writeMeta(m.copy(swept = if (allSwept) Set(0) else Set.empty,
+          segColumn = true))
     }
 
   /** The store's similarity layer under its PINNED field, or None when the

@@ -149,6 +149,16 @@ object Similarity {
   private[graft] def lshBucketRows(df: DataFrame, idAs: String, vAs: String,
       planes: Array[Array[Double]], bands: Int,
       maxBucketDf: Long): DataFrame = {
+    // the hot-bucket cap composed with NARROW keys silently annihilates a
+    // corpus: b-bit keys give 2^b buckets/band, so any corpus past
+    // 2^b × maxBucketDf rows has EVERY bucket hot and the anti-join drops
+    // all of it — zero candidates, no error. 8 bits × the default cap
+    // floors that cliff at 25.6M rows/band; callers pinning narrower keys
+    // (tiny recall-gate corpora) must disable the cap explicitly.
+    require(maxBucketDf <= 0 || planes.length / bands >= 8,
+      s"${planes.length / bands}-bit band keys with a hot-bucket cap " +
+        s"($maxBucketDf) can silently drop the whole corpus; widen the " +
+        "keys or pass maxBucketDf = 0")
     val v = asDouble(col("embedding"))
     val rows = df.select(col("vec_id").as(idAs), v.as(vAs),
         array(bandKeyCols(v, planes, bands): _*).as("keys"))
@@ -180,9 +190,13 @@ object Similarity {
     // the query side is never capped: its buckets are bounded by the query
     // batch itself, and dropping a query's bucket would silently drop the
     // query; the corpus-side cap is what bounds the join
+    // the broadcast payload is the EXPLODED bucket frame — queries × bands
+    // rows, each carrying the full query vector — so the row bound shrinks
+    // with the band count (the 24-band default would otherwise inflate a
+    // "10^4 queries" broadcast 6× past the constant's sizing rationale)
     val qb = maybeBroadcast(
       lshBucketRows(queries, "qid", "qv", planes, bands, maxBucketDf = 0),
-      queries, maxBroadcastQueries)
+      queries, maxBroadcastQueries / math.max(bands, 1))
     val cb = lshBucketRows(corpus, "vec_id", "cv", planes, bands, maxBucketDf)
     val cand = cb.join(qb, Seq("band", "bkey"))
       .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
@@ -200,8 +214,10 @@ object Similarity {
     * unbounded `broadcast()` hint on a 10^7-query batch would OOM every
     * executor. Past the bound the join runs shuffled (the planner's
     * choice), which is exactly right for batch-ANN jobs where the query
-    * side is itself corpus-sized. 10^4 queries × nProbe × ~0.5 KB/row stays
-    * in the tens of MB. */
+    * side is itself corpus-sized. 10^4 probe rows × ~0.5 KB/row stays in
+    * the single-digit MB; joins that EXPLODE the query side (one row per
+    * band in [[lshTopK]]) divide this bound by the expansion factor so the
+    * bound counts broadcast rows, not pre-explosion queries. */
   val DefaultMaxBroadcastQueries: Long = 10000L
 
   /** True when `queries` provably holds at most `bound` rows — counted
@@ -302,6 +318,13 @@ object Similarity {
     * to it; neither → [[bandsFor]]`(tau)` × 16-bit. */
   private[graft] def resolveScheme(tau: Double, nBits: Int,
                                    bands: Int): (Int, Int) = {
+    // a small nBits-only pin is AMBIGUOUS: under pre-adaptive defaults
+    // nBits=16 meant several narrow-key bands, while the 16-bit-key rule
+    // here would yield ONE band (candidate recall ~0.18 at tau=0.95) —
+    // neither silent reading is defensible, so demand an explicit bands
+    require(bands > 0 || nBits == 0 || nBits >= 64,
+      s"nBits=$nBits without bands is ambiguous (one 16-bit-key band " +
+        "would crater recall); pin bands explicitly for schemes under 64 planes")
     val useBands =
       if (bands > 0) bands
       else if (nBits > 0) math.max(1, nBits / 16)

@@ -30,7 +30,8 @@ object RecallProbe {
       println(s"[probe] $sf ivf nLists=$nl nProbe=$np hits=$hits/$n")
     }
     for ((nb, bd) <- Seq((16, 8), (16, 4), (24, 12))) {
-      val lsh = Similarity.lshTopK(q, emb, 5, nBits = nb, bands = bd)
+      val lsh = Similarity.lshTopK(q, emb, 5, nBits = nb, bands = bd,
+        maxBucketDf = 0)
         .select("qid", "vec_id")
       val hits = brute.join(lsh, Seq("qid", "vec_id"), "left_semi").count()
       println(s"[probe] $sf lsh nBits=$nb bands=$bd hits=$hits/$n")

@@ -327,11 +327,29 @@ class PipelineSpec extends AnyFunSuite {
     val simhashBefore = sim.liveSimHashes().select("doc_id", "simhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(liveBefore.size == 10 && !liveBefore.contains(3L))
+    // simulate a pre-flag store: strip the layout marker so this compact
+    // also exercises the documented upgrade path (compact rewrites every
+    // table with the seg column, so it must flip the flag back on)
+    val metaPath = java.nio.file.Paths.get(store.baseDir, "similarity.json")
+    val legacyJson = new String(
+      java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+      .replace(""","segColumnTables":true""", "")
+    assert(legacyJson != new String(
+      java.nio.file.Files.readAllBytes(metaPath), "UTF-8"))
+    java.nio.file.Files.write(metaPath, legacyJson.getBytes("UTF-8"))
+    // drop the Hadoop LocalFileSystem checksum sidecar the raw rewrite
+    // just invalidated
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(store.baseDir, ".similarity.json.crc"))
     // compact folds the tombstones and swaps baseDir wholesale — the carry
     // must re-home the LIVE rows of every covered kind plus the metadata,
     // or the next sweep would re-signature the compacted corpus
     store.compact()
     assert(store.segments.map(_.id) == Seq(0))
+    assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(store.baseDir, "similarity.json")), "UTF-8")
+      .contains(""""segColumnTables":true"""),
+      "compact must upgrade a legacy store to the seg-column table layout")
     assert(store.stageDone(0, "minhash") && store.stageDone(0, "simhash"),
       "compact dropped the signature tables")
     val after = new SimilarityIndex(store)
@@ -621,7 +639,7 @@ class PipelineSpec extends AnyFunSuite {
       "ngram_jaccard" -> Dedup.ngramJaccardPairs(nearDup, minJaccard = 0.5),
       "minhash_lsh" -> Dedup.minHashLshPairs(nearDup, numHashes = 64, bands = 16),
       "simhash" -> Dedup.simHashPairs(nearDup, maxDist = 3),
-      "ann_lsh" -> Similarity.lshTopK(emb.filter($"vec_id" < 4), emb, k = 5, nBits = 16, bands = 8),
+      "ann_lsh" -> Similarity.lshTopK(emb.filter($"vec_id" < 4), emb, k = 5, nBits = 16, bands = 8, maxBucketDf = 0),
       "ann_ivf" -> Similarity.ivfTopK(emb.filter($"vec_id" < 4), emb, k = 5, nLists = 8, nProbe = 2),
       "ann_ivf_persisted" -> IvfIndex
         .build(emb, TestSpark.tempDir("plan-ivf"), nLists = 8)
@@ -726,7 +744,8 @@ class PipelineSpec extends AnyFunSuite {
     val qs = emb.filter($"vec_id" < 8)
     val brute = Similarity.bruteForceTopK(qs, emb, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val lsh = Similarity.lshTopK(qs, emb, 5, nBits = 16, bands = 8).collect()
+    val lsh = Similarity.lshTopK(qs, emb, 5, nBits = 16, bands = 8,
+      maxBucketDf = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalls = brute.map { case (q, truth) =>
       lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
