@@ -809,6 +809,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.resolveScheme(0.999, 192, 12) == ((192, 12)))
   }
 
+  test("embedding LSH: measured near-dup recall matches the bandsFor target") {
+    // the >=0.98 candidate-recall claim is formula-derived; measure it on
+    // NEAR duplicates (exact copies agree in every band and recall them
+    // trivially — they prove nothing about the band count). Seeded, so
+    // deterministic: 400 random unit-ish vectors + 120 perturbed copies
+    // whose cosine lands around the 0.95 threshold's neighborhood.
+    val rnd = new java.util.Random(7L)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 400).map(i => (i.toLong, vec()))
+    val near = (0 until 120).map { i =>
+      val v = base(i)._2
+      val eps = 0.18f + 0.10f * rnd.nextFloat()  // cos ~ 0.95-0.985
+      ((1000 + i).toLong, v.map(x => x + eps * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ near).toDF("vec_id", "embedding")
+    def pairSet(d: org.apache.spark.sql.DataFrame) = d.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.embeddingDupPairs(df, 0.95, exact = true))
+    val lsh = pairSet(Similarity.embeddingDupPairs(df, 0.95))
+    assert(exact.size > 50, s"fixture too weak: ${exact.size} true pairs")
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95,
+      s"measured near-dup recall $recall (${lsh.size}/${exact.size}) " +
+        "below the bandsFor(0.95) design target")
+  }
+
   test("embedding LSH: hot buckets df-capped; band keys span the 16-bit space") {
     def vec(seed: Int): Array[Float] = {
       val r = new java.util.Random(seed); Array.fill(64)(r.nextGaussian().toFloat)
