@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
 object VecSweepProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    // optional second arg: sweep threshold — tau=0.95 exercises the
+    // adaptive scheme's most expensive point (bandsFor(0.95) = 20 bands
+    // vs 3 at the 0.999 default); injected exact dups sweep at any tau
+    val tau = args.lift(1).map(_.toDouble).getOrElse(0.999)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("vec-sweep-probe")
@@ -58,11 +62,12 @@ object VecSweepProbe {
 
       val idx = timed(s"IvfIndex.build (${n} + dups)")(
         IvfIndex.build(emb, s"$work/ivf", nLists = 0)) // √n cells
-      // LSH-mode sweep, tau-adaptive default scheme (bandsFor(0.999) = 3
-      // bands of 16-bit keys), cap above the cluster so its 1,999 victims
-      // are sweepable
-      val swept = timed("LSH sweep tau=0.999 (default scheme)")(
-        idx.sweep(tau = 0.999))
+      // LSH-mode sweep, tau-adaptive default scheme (bandsFor(tau) bands
+      // of 16-bit keys), cap above the cluster so its 1,999 victims are
+      // sweepable
+      val swept = timed(s"LSH sweep tau=$tau (default scheme, " +
+        s"${graft.pipeline.Similarity.bandsFor(tau)} bands)")(
+        idx.sweep(tau = tau))
       require(swept >= nCopies + 1999,
         s"sweep removed $swept < ${nCopies + 1999} injected dups")
       val live = idx.live
