@@ -39,13 +39,20 @@ case class PostingExplode(child: Expression)
     else new Iterator[InternalRow] {
       private val pos = Array(0)
       private var prevDoc = 0L
+      // one reused row: GenerateExec projects every emitted row into an
+      // UnsafeRow before the next() call, so per-posting allocation of a
+      // fresh GenericInternalRow (the row AND its Array[Any]) was pure
+      // garbage — the same reuse built-in CollectionGenerators do
+      private val vals = new Array[Any](3)
+      private val row = new GenericInternalRow(vals)
       override def hasNext: Boolean = pos(0) < blob.length
       override def next(): InternalRow = {
         val d = prevDoc + PostingCodec.readVarint(blob, pos)
-        val tf = PostingCodec.readVarint(blob, pos).toInt
-        val dl = PostingCodec.readVarint(blob, pos).toInt
+        vals(0) = d
+        vals(1) = PostingCodec.readVarint(blob, pos).toInt
+        vals(2) = PostingCodec.readVarint(blob, pos).toInt
         prevDoc = d
-        new GenericInternalRow(Array[Any](d, tf, dl))
+        row
       }
     }
   }

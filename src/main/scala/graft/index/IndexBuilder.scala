@@ -92,14 +92,128 @@ object IndexBuilder {
       .toDF()
   }
 
+  /** NARROW twin of [[postings]]→[[encodeShards]], used by the segment
+    * build: the build shuffle carries ~10² rows per document, so row width
+    * IS shuffle/sort/cache bytes (guide §2.3 "narrower types"). The field
+    * name is replaced by its rank in the SORTED field list — a one-byte,
+    * order-preserving surrogate restored at encode time — and (tf, dl)
+    * share one long, cutting each UnsafeRow by ~2 slots + the field
+    * string's var-len bytes (~25% at the bench shape); the shard key is
+    * NOT stored (derivable, projected back in [[encodeShardsNarrow]]), so
+    * the cached form is one slot narrower still. Same emission semantics
+    * as [[postings]] (per-field token run walk); the surrogate keys sort
+    * exactly like the names did, so the encoded shard table is
+    * row-identical. */
+  def postingsNarrow(corpus: Dataset[CorpusDoc],
+                     fields: Seq[String]): Dataset[(Byte, String, Long, Long)] = {
+    import corpus.sparkSession.implicits._
+    val sortedFields = fields.sorted.toArray
+    corpus.flatMap { doc =>
+      Iterator.tabulate(sortedFields.length) { fIdx =>
+        val toks = Analyzer.tokenize(CorpusDoc.fieldValue(doc, sortedFields(fIdx)))
+        val dl = toks.length
+        if (dl == 0) Iterator.empty
+        else {
+          java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
+          new Iterator[(Byte, String, Long, Long)] {
+            private var i = 0
+            def hasNext: Boolean = i < dl
+            def next(): (Byte, String, Long, Long) = {
+              val t = toks(i)
+              var j = i + 1
+              while (j < dl && toks(j) == t) j += 1
+              val tf = j - i
+              i = j
+              (fIdx.toByte, t, doc.doc_id,
+                (tf.toLong << 32) | (dl.toLong & 0xffffffffL))
+            }
+          }
+        }
+      }.flatten
+    }
+  }
+
+  /** Encode pipeline over the narrow rows (see [[postingsNarrow]]);
+    * `sortedFields` maps the surrogate byte back to the field name.
+    *
+    * Keys are TERM-MAJOR ((term, fidx, shard), not (field, term, shard)):
+    * Tungsten's sort computes an 8-byte prefix from the FIRST order column
+    * only, and a leading field key — one of ≤ |fields| values, constant
+    * across ~all rows — made every prefix tie, sending EVERY comparison of
+    * the build's largest sort through the full row-dereference + string
+    * path. With term first, the prefix (the term's first 8 bytes) decides
+    * most comparisons in the cache-resident pointer array. Grouping is
+    * unaffected (any ordering with these three leading keys makes groups
+    * contiguous; the group walk tests all three), and the parquet layout
+    * becomes term-range-per-file, which is exactly what exact/prefix term
+    * scans prune on — the field filter rides row-group dictionary/stats as
+    * before. */
+  def encodeShardsNarrow(narrow: Dataset[(Byte, String, Long, Long)],
+                         shardSpan: Long,
+                         sortedFields: Array[String]): DataFrame = {
+    import narrow.sparkSession.implicits._
+    narrow.toDF("fidx", "term", "doc_id", "tfdl")
+      .withColumn("shard", floor(col("doc_id") / lit(shardSpan)).cast("long"))
+      .repartitionByRange(col("term"), col("fidx"), col("shard"))
+      .sortWithinPartitions("term", "fidx", "shard", "doc_id")
+      .select(col("fidx"), col("term"), col("shard"), col("doc_id"), col("tfdl"))
+      .as[(Byte, String, Long, Long, Long)]
+      .mapPartitions(rows => ShardEncoder.encodeSortedRunNarrow(rows, sortedFields))
+      .toDF()
+  }
+
   /** Per-(field, term) document frequency. Posting rows are one per
-    * distinct (field, term, doc), so df is a row count. Computed from the
-    * (cached) token rows — independent of the postings write, so it runs
-    * concurrently with it. Carries sum_tf so fieldStats derives from THIS
-    * vocabulary-sized table. */
+    * distinct (field, term, doc), so df is a row count. Carries sum_tf so
+    * fieldStats derives from THIS vocabulary-sized table. (The segment
+    * build derives df from the ENCODED shard table instead — see
+    * [[termDfFromShards]]; this posting-row form remains for callers that
+    * have no shard table, e.g. the oracle twins and tests.) */
   def termDf(postings: Dataset[Posting]): DataFrame =
     postings.groupBy(col("field"), col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("sum_tf"))
+
+  /** The segment's df TABLE re-derived from the encoded shard table: each
+    * shard row already carries `count` (# postings = # distinct docs of
+    * that (field, term, shard)) and `sum_tf`, so df(field, term) = Σ count
+    * and sum_tf = Σ sum_tf over its shards. The aggregation input shrinks
+    * from one row per (field, term, doc) — ~10² rows per document — to one
+    * row per (field, term, shard): vocabulary-sized (guide §2.3,
+    * "aggregate before you shuffle" — the shard encode already did), and
+    * column pruning keeps the blob/blocks bytes out of the scan. ONE
+    * exchange end to end: the rows range-shuffle straight into the table's
+    * (field, term) layout and a sorted group-walk sums each run — the
+    * hash-aggregate + second range exchange (each with its own sampling
+    * pass) that a groupBy→repartitionByRange chain pays buy nothing over a
+    * vocabulary-sized input. Values are exact integer sums → row-identical
+    * table. */
+  def termDfTableFromShards(shards: DataFrame): DataFrame = {
+    import shards.sparkSession.implicits._
+    shards.select(col("field"), col("term"), col("count"), col("sum_tf"))
+      .repartitionByRange(col("field"), col("term"))
+      .sortWithinPartitions("field", "term")
+      .as[(String, String, Long, Long)]
+      .mapPartitions { rows =>
+        new Iterator[(String, String, Long, Long)] {
+          private var pending: (String, String, Long, Long) = _
+          private var hasPending = false
+          override def hasNext: Boolean = hasPending || rows.hasNext
+          override def next(): (String, String, Long, Long) = {
+            val first = if (hasPending) pending else rows.next()
+            hasPending = false
+            val (field, term) = (first._1, first._2)
+            var df = first._3
+            var sumTf = first._4
+            var done = false
+            while (!done && rows.hasNext) {
+              val r = rows.next()
+              if (r._1 == field && r._2 == term) { df += r._3; sumTf += r._4 }
+              else { pending = r; hasPending = true; done = true }
+            }
+            (field, term, df, sumTf)
+          }
+        }
+      }.toDF("field", "term", "df", "sum_tf")
+  }
 
   /** Per-field (n, sum_dl). sum_dl(field) = Σ_docs dl = Σ_postings tf, so it
     * falls out of the df table's `sum_tf` column — one scan of a table whose

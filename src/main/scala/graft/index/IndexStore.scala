@@ -132,22 +132,80 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     } else {
       val t0 = System.nanoTime()
       compute.write.mode(SaveMode.Overwrite).parquet(outDir.toString)
-      val wallMs = (System.nanoTime() - t0) / 1000000
-      val parts = parquetFileMetrics(outDir)
-      val rows = parts.map(_._2).sum
-      val bytes = parts.map(_._3).sum
-      val partsJson = parts.map { case (f, r, b) =>
-        s"""{"file":"$f","rows":$r,"bytes":$b}"""
-      }.mkString("[", ",", "]")
-      val json =
-        s"""{"stage":"$stage","status":"done","rows":$rows,"bytes":$bytes,""" +
-        s""""files":${parts.length},"wallMs":$wallMs,""" +
-        s""""lineage":${lineage.map(l => "\"" + l + "\"").mkString("[", ",", "]")},""" +
-        s""""partitions":$partsJson}"""
-      val out = fs.create(marker, true)
-      try out.write(json.getBytes("UTF-8")) finally out.close()
+      commitStageMarker(marker, outDir, stage, lineage, t0)
       spark.read.parquet(outDir.toString)
     }
+  }
+
+  /** Emits the done-marker for a completed stage write (see [[runStage]]). */
+  private def commitStageMarker(marker: Path, outDir: Path, stage: String,
+                                lineage: Seq[String], t0: Long): Unit = {
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val parts = parquetFileMetrics(outDir)
+    val rows = parts.map(_._2).sum
+    val bytes = parts.map(_._3).sum
+    val partsJson = parts.map { case (f, r, b) =>
+      s"""{"file":"$f","rows":$r,"bytes":$b}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"stage":"$stage","status":"done","rows":$rows,"bytes":$bytes,""" +
+      s""""files":${parts.length},"wallMs":$wallMs,""" +
+      s""""lineage":${lineage.map(l => "\"" + l + "\"").mkString("[", ",", "]")},""" +
+      s""""partitions":$partsJson}"""
+    val out = fs.create(marker, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The input's parquet data files when `corpus` is a BARE parquet scan
+    * with exactly the CorpusDoc schema — no filter, no projection, no
+    * union, no derived columns (any of those shows up as extra nodes above
+    * / instead of the single `LogicalRelation`, or as a different schema).
+    * Such an input can be stored by FILE COPY instead of decode+re-encode:
+    * same rows, same columns, a doc store byte-equivalent to what the
+    * write path would produce — minus one full parquet decode AND one full
+    * parquet encode of every corpus byte (the dominant cost of the copy
+    * stage; see OPTIMIZATION_r06.md). */
+  private def rawParquetInput(corpus: Dataset[CorpusDoc]): Option[Seq[String]] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    corpus.queryExecution.optimizedPlan match {
+      case lr: LogicalRelation => lr.relation match {
+        case hfs: HadoopFsRelation
+            if hfs.fileFormat.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+          val want = org.apache.spark.sql.Encoders.product[CorpusDoc].schema
+            .fields.map(f => (f.name, f.dataType)).toSeq
+          val got = lr.schema.fields.map(f => (f.name, f.dataType)).toSeq
+          if (got == want) Some(hfs.location.inputFiles.toSeq) else None
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Corpus stage by parallel file copy (see [[rawParquetInput]]); emits
+    * the identical done-marker as the write path, so resume/ownership
+    * verification and per-partition metrics are unchanged. */
+  private def copyFilesStage(segId: Int, stage: String, files: Seq[String],
+                             resume: Boolean): DataFrame = {
+    val outDir = p(s"seg-$segId", stage)
+    val marker = p(s"seg-$segId", "_checkpoints", s"$stage.json")
+    if (resume && fs.exists(marker)) return spark.read.parquet(outDir.toString)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val t0 = System.nanoTime()
+    if (fs.exists(outDir)) fs.delete(outDir, true)
+    fs.mkdirs(outDir)
+    val futures = files.zipWithIndex.map { case (f, i) => Future {
+      val src = new Path(f)
+      val name0 = src.getName
+      val name = if (name0.endsWith(".parquet")) name0 else s"$name0.parquet"
+      org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(hconf), src,
+        fs, new Path(outDir, f"part-$i%05d-$name"), false, hconf)
+    }}
+    Await.result(Future.sequence(futures), Duration.Inf)
+    commitStageMarker(marker, outDir, stage, Seq("input"), t0)
+    spark.read.parquet(outDir.toString)
   }
 
   def stageDone(segId: Int, stage: String): Boolean =
@@ -209,12 +267,14 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     // INPUT corpus (row-identical to the stored copy, enforced by the
     // sha-invariant test), so none waits behind the copy stage.
     //
-    // cacheBuild=true shares one tokenization across the sampler, the
-    // shuffle and the df stage (right whenever cluster cache ~ token-row
-    // volume). cacheBuild=false bounds memory instead: each consumer
-    // re-tokenizes its own pass — the extreme-scale mode (cache << data);
-    // graft.Cli auto-selects it from input size vs heap.
-    val tfRows = IndexBuilder.postings(corpus, cfg.fields)
+    // cacheBuild=true shares one tokenization across the sampler and the
+    // shuffle (right whenever cluster cache ~ token-row volume).
+    // cacheBuild=false bounds memory instead: each consumer re-tokenizes
+    // its own pass — the extreme-scale mode (cache << data); graft.Cli
+    // auto-selects it from input size vs heap. The NARROW row form (field
+    // rank byte + packed tf|dl, see IndexBuilder.postingsNarrow) keeps the
+    // cached and shuffled bytes ~25% smaller than Posting rows.
+    val tfRows = IndexBuilder.postingsNarrow(corpus, cfg.fields)
     if (cfg.cacheBuild)
       tfRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -229,22 +289,44 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
       // row-group granularity.
       val postingsF = Future {
         runStage(segId, "postings", Seq("input"), resume) {
-          IndexBuilder.encodeShards(tfRows, cfg.shardSpan)
+          IndexBuilder.encodeShardsNarrow(tfRows, cfg.shardSpan,
+            cfg.fields.sorted.toArray)
         }
       }
-      // Stage 4: df from the cached token rows — concurrent with the
-      // postings write, not downstream of it.
-      val dfF = Future {
-        runStage(segId, "df", Seq("input"), resume) {
-          IndexBuilder.termDf(tfRows)
-            .repartitionByRange(col("field"), col("term"))
-            .sortWithinPartitions("field", "term")
+      // Stage 4: df re-derived from the WRITTEN shard table (chained after
+      // the postings stage, not concurrent with it): the shard rows already
+      // carry per-group count/sum_tf, so this aggregates a vocabulary-sized
+      // parquet read instead of paying a second full pass + partial
+      // aggregation over the ~10²-rows-per-doc posting stream. The ~10%
+      // of build CPU the old concurrent df pass burned came out of the
+      // same cores (and memory bandwidth) the postings shuffle needed —
+      // removing the pass beats overlapping it (guide §2.3; measured in
+      // OPTIMIZATION_r06.md). Also drops the third tokenization pass in
+      // cacheBuild = false mode.
+      val dfF = postingsF.map { shards =>
+        runStage(segId, "df", Seq(s"seg-$segId/postings"), resume) {
+          IndexBuilder.termDfTableFromShards(shards)
         }
       }
-      // Stage 1: corpus copy (doc store). Range-partitioned by doc_id so
-      // top-k hydration and docId-range reads prune files.
-      val storedCorpus = runStage(segId, "corpus", Seq("input"), resume) {
-        corpus.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id").toDF()
+      // Stage 1: corpus copy (doc store). doc_id-clustered so top-k
+      // hydration and docId-range reads prune files. When the INPUT's
+      // partitions already hold pairwise-disjoint doc_id ranges (generated
+      // corpora, replayed segment corpora, range-written parquet — the
+      // common case), a local sort preserves that clustering and the range
+      // exchange — a full shuffle of every corpus byte PLUS the range
+      // sampler's extra full pass over the input — is dropped outright
+      // (guide §2.4/§8: never shuffle the heavy payload to recompute an
+      // order it already has). The disjointness probe is one doc_id-only
+      // job (columns pruned at the source). Unclustered inputs keep the
+      // range shuffle.
+      val storedCorpus = rawParquetInput(corpus) match {
+        case Some(files) => copyFilesStage(segId, "corpus", files, resume)
+        case None => runStage(segId, "corpus", Seq("input"), resume) {
+          if (docIdRangesDisjoint(corpus))
+            corpus.sortWithinPartitions("doc_id").toDF()
+          else
+            corpus.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id").toDF()
+        }
       }
       val numDocs = storedCorpus.count()
       val shards = Await.result(postingsF, Duration.Inf)
@@ -260,6 +342,27 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
     } finally {
       if (cfg.cacheBuild) { tfRows.unpersist(); () }
     }
+  }
+
+  /** True when the input's partitions hold pairwise-DISJOINT doc_id ranges
+    * — i.e. a per-partition local sort alone yields a doc_id-clustered doc
+    * store with file-level min/max pruning as good as (finer than) the
+    * range shuffle's. One doc_id-only Spark job; the projection prunes
+    * every other column at the source, so the probe reads a tiny fraction
+    * of the corpus bytes. Collected state is one (min, max) pair per
+    * partition — bounded by the partition count, never by rows. */
+  private def docIdRangesDisjoint(corpus: Dataset[CorpusDoc]): Boolean = {
+    val ranges = corpus.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          it.foreach { d => if (d < mn) mn = d; if (d > mx) mx = d }
+          Iterator((mn, mx))
+        }
+      }.collect().sortBy(_._1)
+    (1 until ranges.length).forall(i => ranges(i - 1)._2 < ranges(i)._1)
   }
 
   /** Merges every committed segment with ≤ `maxDocs` docs into ONE new
@@ -362,12 +465,20 @@ class IndexStore(val spark: SparkSession, val baseDir: String,
       .reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataset[DocStat].toDF())
 
-  /** Live per-(field, term) df: segment sums minus delete corrections. */
+  /** Live per-(field, term) df: segment sums minus delete corrections.
+    * A single-segment store skips the cross-segment aggregation outright —
+    * its df table already holds one row per (field, term), so the groupBy
+    * was an identity that cost every cold dictionary scan (df fetches,
+    * prefix/fuzzy expansions) an exchange. */
   def termDf(): DataFrame = {
-    val base = segPaths("df").map(spark.read.parquet(_))
-      .reduceOption(_ unionByName _)
-      .getOrElse(return spark.emptyDataset[TermDf].toDF())
-      .groupBy(col("field"), col("term")).agg(sum(col("df")).as("df"))
+    val paths = segPaths("df")
+    if (paths.isEmpty) return spark.emptyDataset[TermDf].toDF()
+    val base =
+      if (paths.size == 1)
+        spark.read.parquet(paths.head).select(col("field"), col("term"), col("df"))
+      else
+        paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+          .groupBy(col("field"), col("term")).agg(sum(col("df")).as("df"))
     val deltaPath = p("dfdelta")
     if (!fs.exists(deltaPath)) base
     else {

@@ -224,5 +224,23 @@ object PostingCodec {
       else if (blockMeta(bi).firstDocId > target) None // gap: target absent
       else Some(blockMeta(bi))
     }
+
+    /** Allocation-free shallow pointer (the WAND inner loop calls this once
+      * per refinement per cursor — an Option per call was measurable):
+      * index of the first not-yet-passed block whose lastDocId ≥ `target`,
+      * or -1 when `target` falls past every remaining block. Unlike
+      * [[blockFor]] the GAP case (block.firstDocId > target) still returns
+      * the index — the caller reads the boundary fields to distinguish it. */
+    def blockIndexFor(target: Long): Int = {
+      if (exhausted) return -1
+      var bi = blockIdx
+      while (bi < blockMeta.length && blockMeta(bi).lastDocId < target) bi += 1
+      if (bi >= blockMeta.length) -1 else bi
+    }
+
+    def blockFirstDocId(bi: Int): Long = blockMeta(bi).firstDocId
+    def blockLastDocIdAt(bi: Int): Long = blockMeta(bi).lastDocId
+    def blockMaxTf(bi: Int): Int = blockMeta(bi).maxTf
+    def blockMinDl(bi: Int): Int = blockMeta(bi).minDl
   }
 }

@@ -86,14 +86,21 @@ object Dedup {
   /** Distinct k-token shingles from pre-tokenized rows `(doc_id, toks)` —
     * the expansion half of [[shingles]], split out so a caller that already
     * materialized the token arrays (e.g. [[contaminationReport]]'s
-    * single-scan path) can shingle without re-reading the corpus. */
+    * single-scan path) can shingle without re-reading the corpus.
+    *
+    * Deduplication happens PER DOC inside the row (`array_distinct` before
+    * the explode): distinct (doc_id, shingle) pairs are exactly the
+    * per-doc-distinct shingles because doc_id comes from the same row, so
+    * the old frame-level `.distinct()` — a full exchange + aggregation of
+    * the exploded shingle stream, paid by every consumer of this frame —
+    * bought nothing the in-row dedup doesn't (guide §2.4: remove shuffles
+    * outright). Result-identical as a set; map-side only. */
   private def shingleExpand(toksDf: DataFrame, k: Int): DataFrame =
     toksDf
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(0), size(col("toks")) - k),
-          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(k))))).as("shingle"))
-      .distinct()
+          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(k)))))).as("shingle"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ minJaccard.
@@ -416,8 +423,16 @@ object Dedup {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct(), "edges")
-    var labels = ckpt(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")), "labels-0")
+    // labels start one propagation step in: label₀(id) = min(id, neighbors)
+    // — the same grouping that would otherwise deduplicate the node list
+    // computes the first round's min for free, so the common shallow
+    // component (pairs/stars, the bulk of real dup corpora) converges with
+    // changed == 0 on the FIRST loop iteration instead of the second.
+    // Invariants unchanged: labels ≥ component min, monotonically
+    // non-increasing, fixpoint = component minima.
+    var labels = ckpt(edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label")), "labels-0")
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -627,19 +642,26 @@ object Dedup {
   val SimHashBits: Int = 62
 
   /** 62-bit SimHash per doc from tf-weighted token hash bit votes.
-    * Plan: token tf rows → 62 conditional sums (codegen'd) → bit assembly. */
+    * Plan: token rows → 62 conditional ±1 sums (codegen'd) → bit assembly.
+    *
+    * Votes are summed straight off the TOKEN stream (±1 per occurrence):
+    * Σ_occurrences ±1 = Σ_terms ±tf exactly, so the old per-(doc, term) tf
+    * pre-aggregation — a full exchange of the token rows before the per-doc
+    * vote aggregation — is pure overhead (guide §2.4); the per-doc partial
+    * aggregation reduces the token stream map-side either way. The hash is
+    * computed per occurrence instead of per distinct term (cheap codegen'd
+    * Column arithmetic vs a whole shuffle). Bit-identical hashes. */
   def simHashes(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import graft.functions.PortableHash
-    val tf = docs
+    val toks = docs
       .select(col("doc_id"), explode(Analyzer.tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("th", PortableHash.hash(col("term"), 1L)
         .bitwiseOR(shiftleft(PortableHash.hash(col("term"), 2L), 31)))
     val votes = (0 until SimHashBits).map { i =>
-      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
-        .otherwise(-col("tf"))).as(s"v$i")
+      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"v$i")
     }
-    tf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         (0 until SimHashBits).map(i =>
           when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))

@@ -495,7 +495,14 @@ class SearchEngine(val store: IndexStore) {
       .sortBy { case (f, t, seg, shard, _, _) => (f, t, shard, seg) }
     val tomb = cachedTombstones()
     val and = mode == SearchMode.And
-    val acc = new DriverScoreMap(1 << 12)
+    // pre-size the accumulator to the Σdf upper bound on distinct docs (the
+    // driver path only runs when Σdf·8 ≤ driverWandMaxBytes, so this is
+    // bounded): growing from 4096 to hot-term size re-hashed the whole
+    // table ~7 times per query. ×10/7 keeps the final table under the 0.7
+    // load factor so no grow happens at all; capped so a generous
+    // driverWandMaxBytes cannot make the up-front zeroing the new cost.
+    val est = math.min(stats.map(_.df).sum, 1L << 21).toInt
+    val acc = new DriverScoreMap(math.max(est * 10 / 7, 1 << 12))
     val k1 = bm25.k1; val b = bm25.b
     val noTomb = tomb.isEmpty
     rows.foreach { case (f, t, seg, _, _, blob) =>

@@ -118,16 +118,46 @@ class WandExecutor(engine: SearchEngine) {
 private[search] object WandExecutor {
 
   /** Block-max WAND main loop over one shard's cursors. Static so the
-    * mapPartitions closure never captures the SparkSession. */
+    * mapPartitions closure never captures the SparkSession.
+    *
+    * Round-6 shape (results identical — pruning only ever skips docs whose
+    * block-bounded score is STRICTLY below θ, and every evaluated doc sums
+    * its contributions in the same stable cursor order):
+    *  - one cursor → [[runWandSingle]], a streaming block walk that skips a
+    *    prunable block with ONE metadata hop instead of decoding it
+    *    posting-by-posting;
+    *  - the per-iteration `java.util.Arrays.sort` (TimSort + comparator
+    *    allocation) is replaced by an in-place insertion sort — between
+    *    iterations at most a couple of cursors moved, so the array is
+    *    nearly sorted and the sort is ~n comparisons;
+    *  - a failed block-max refinement skips to the PROVEN-SAFE horizon
+    *    (min over contributing cursors' block validity ends, bounded by the
+    *    first cursor past the pivot — the Ding/Suel deep skip) instead of
+    *    pivotDoc+1, so a cold block is skipped once, not re-proven per doc;
+    *  - `tomb.isEmpty` is hoisted out of the evaluation loop (the common
+    *    case boxed a Long per evaluated doc in `Map.get`). */
   def runWand(cursors: Array[TermCursor], tomb: Map[Long, Int],
               heap: BoundedHitHeap): Unit = {
     cursors.foreach(_.init())
     val order: Array[TermCursor] = cursors.filter(!_.exhausted)
     if (order.isEmpty) return
+    if (order.length == 1) { runWandSingle(order(0), tomb, heap); return }
+    val noTomb = tomb.isEmpty
     var continue = true
     while (continue) {
-      java.util.Arrays.sort(order, (a: TermCursor, c: TermCursor) =>
-        java.lang.Long.compare(a.docId, c.docId))
+      // insertion sort by docId (exhausted cursors report Long.MaxValue and
+      // sink to the tail); stable, allocation-free, ~n on nearly-sorted input
+      var si = 1
+      while (si < order.length) {
+        val c = order(si)
+        val d = c.docId
+        var sj = si - 1
+        while (sj >= 0 && order(sj).docId > d) {
+          order(sj + 1) = order(sj); sj -= 1
+        }
+        order(sj + 1) = c
+        si += 1
+      }
       val theta = heap.threshold
       // pivot: smallest prefix whose summed global upper bounds exceed θ.
       // globalUB is a STRICT upper bound (tf-norm < k1+1), so score==θ docs
@@ -152,21 +182,36 @@ private[search] object WandExecutor {
         // using shallow pointers into block metadata — nothing is decoded.
         // Strict <: block bounds are attainable, and an exactly-tied doc
         // with smaller docId must still be evaluated for the tiebreak.
+        // Each contributing cursor also reports how far its shallow bound
+        // stays valid (its block's lastDocId, or the gap end); cursors past
+        // the pivot bound the horizon by their own docId.
         var blockUB = 0.0
+        var validUntil = Long.MaxValue
         var j = 0
         while (j < order.length) {
-          if (!order(j).exhausted && order(j).docId <= pivotDoc)
-            blockUB += order(j).shallowUB(pivotDoc)
+          val c = order(j)
+          if (!c.exhausted) {
+            if (c.docId <= pivotDoc) {
+              blockUB += c.shallowUB(pivotDoc)
+              if (c.shallowValidUntil < validUntil) validUntil = c.shallowValidUntil
+            } else if (c.docId - 1 < validUntil) validUntil = c.docId - 1
+          }
           j += 1
         }
         if (blockUB < theta) {
-          // pivotDoc cannot enter the heap; docs < pivotDoc were already
-          // excluded by the pivot invariant — skip everything ≤ pivotDoc.
-          // advanceTo skips at block granularity internally.
+          // No doc in [pivotDoc, validUntil] can reach θ: the contributing
+          // cursors' block bounds hold through validUntil and every other
+          // cursor starts past it — skip the whole proven range at block
+          // granularity (docs < pivotDoc were already excluded by the pivot
+          // invariant). The pivot cursor's current block always yields a
+          // finite horizon; the clamp only guards a hypothetical all-gap
+          // state from overflowing MaxValue+1.
+          if (validUntil == Long.MaxValue) validUntil = pivotDoc
+          val target = math.max(pivotDoc, validUntil) + 1
           var n = 0
           while (n < order.length) {
-            if (!order(n).exhausted && order(n).docId <= pivotDoc)
-              order(n).advanceTo(pivotDoc + 1)
+            if (!order(n).exhausted && order(n).docId < target)
+              order(n).advanceTo(target)
             n += 1
           }
         } else if (order(0).docId == pivotDoc) {
@@ -177,7 +222,7 @@ private[search] object WandExecutor {
           while (e < cursors.length) {
             val c = cursors(e)
             if (!c.exhausted && c.docId == pivotDoc) {
-              val deleted = tomb.get(pivotDoc).exists(c.seg <= _)
+              val deleted = !noTomb && tomb.get(pivotDoc).exists(c.seg <= _)
               if (!deleted) { score += c.contribution; anyLive = true }
             }
             e += 1
@@ -207,6 +252,34 @@ private[search] object WandExecutor {
       }
     }
   }
+
+  /** Single-cursor BMW: stream the list block by block, skipping any block
+    * whose (maxTf, minDl) bound is strictly below θ with one metadata hop —
+    * a prunable block costs O(1) instead of a decode per posting. Offered
+    * scores are the identical per-posting contributions, so the top-k (with
+    * the (score desc, docId asc) tie rule) matches the generic loop
+    * exactly. */
+  private def runWandSingle(c: TermCursor, tomb: Map[Long, Int],
+                            heap: BoundedHitHeap): Unit = {
+    val noTomb = tomb.isEmpty
+    while (!c.exhausted) {
+      val blockLast = c.cursor.blockLastDocId
+      if (c.currentBlockUB < heap.threshold) {
+        // the whole block is provably below θ — hop over it
+        if (!c.advanceTo(blockLast + 1)) return
+      } else {
+        var go = true
+        while (go) {
+          val d = c.docId
+          if (noTomb || !tomb.get(d).exists(c.seg <= _))
+            heap.offer(d, c.contribution)
+          if (d >= blockLast) go = false
+          else if (!c.cursor.next()) { go = false }
+        }
+        if (!c.advanceTo(blockLast + 1)) return
+      }
+    }
+  }
 }
 
 /** One query term's posting cursor with BM25 bounds. */
@@ -217,25 +290,59 @@ private[search] final class TermCursor(
 
   def init(): Unit = { cursor.next(); () }
   def exhausted: Boolean = cursor.isExhausted
-  def docId: Long = cursor.docId
+  def docId: Long = if (cursor.isExhausted) Long.MaxValue else cursor.docId
   def advanceTo(target: Long): Boolean = cursor.advanceTo(target)
 
   /** tf-normalization is strictly < (k1+1), so idf·(k1+1) is a strict upper
     * bound on any contribution. */
   val globalUB: Double = idf * (k1 + 1.0)
 
+  @inline private def blockBound(maxTf: Int, minDl: Int): Double = {
+    val tf = maxTf.toDouble
+    val dl = minDl.toDouble
+    idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+  }
+
+  /** Horizon through which the last [[shallowUB]] result stays a valid
+    * bound: the end of the block it came from, the end of the gap when the
+    * target provably falls between blocks, or ∞ when the list is spent. */
+  private var sValidUntil: Long = Long.MaxValue
+  def shallowValidUntil: Long = sValidUntil
+
   /** Tight bound on this cursor's contribution to `target`, from the
     * (maxTf, minDl) metadata of the block that would contain it; 0 when the
     * list provably lacks `target`. Valid because tf/(tf+c) is increasing in
-    * tf and decreasing in dl. */
-  def shallowUB(target: Long): Double =
-    cursor.blockFor(target) match {
-      case None => 0.0
-      case Some(blk) =>
-        val tf = blk.maxTf.toDouble
-        val dl = blk.minDl.toDouble
-        idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    * tf and decreasing in dl. Allocation-free (the block scan runs on the
+    * cursor's metadata arrays); also records [[shallowValidUntil]]. The
+    * per-block bound is memoized on the block index: in a dense
+    * intersection the refinement runs once per pivot, and ~128 consecutive
+    * pivots land in the same block — recomputing the identical div chain
+    * per pivot was a measurable share of multi-term WAND time. */
+  private var cachedBlockIdx: Int = -1
+  private var cachedBound: Double = 0.0
+  def shallowUB(target: Long): Double = {
+    val bi = cursor.blockIndexFor(target)
+    if (bi < 0) { sValidUntil = Long.MaxValue; 0.0 }
+    else {
+      val first = cursor.blockFirstDocId(bi)
+      if (first > target) { sValidUntil = first - 1; 0.0 } // gap: target absent
+      else {
+        sValidUntil = cursor.blockLastDocIdAt(bi)
+        if (bi != cachedBlockIdx) {
+          cachedBlockIdx = bi
+          cachedBound = blockBound(cursor.blockMaxTf(bi), cursor.blockMinDl(bi))
+        }
+        cachedBound
+      }
     }
+  }
+
+  /** BM25 bound of the cursor's CURRENT block — the single-cursor walk's
+    * prune test. */
+  def currentBlockUB: Double = {
+    val blk = cursor.currentBlock
+    blockBound(blk.maxTf, blk.minDl)
+  }
 
   def contribution: Double = {
     val tf = cursor.tf.toDouble
@@ -244,29 +351,64 @@ private[search] final class TermCursor(
   }
 }
 
-/** Bounded min-heap of (doc_id, score) — keeps the k best under the order
-  * (score desc, doc_id asc). */
+/** Bounded top-k collector under the order (score desc, doc_id asc) — a
+  * primitive-array binary min-heap whose root is the WORST kept hit.
+  * Replaces the tuple-boxing PriorityQueue: `offer` is the innermost call
+  * of every WAND/exhaustive scoring loop (one call per surviving posting),
+  * and the old path allocated a tuple per offer plus two tuples per
+  * comparison inside `Ordering.by`. */
 private[search] final class BoundedHitHeap(k: Int) {
-  // Ordering by (-score, docId) ascending = best-first; PriorityQueue
-  // dequeues the MAX under it = the worst kept hit, which is the evictee.
-  private val ord = Ordering.by[(Long, Double), (Double, Long)] {
-    case (d, s) => (-s, d)
-  }
-  private val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord)
+  private val cap = math.max(k, 0)
+  private val ids = new Array[Long](math.max(cap, 1))
+  private val scs = new Array[Double](math.max(cap, 1))
+  private var n = 0
+
+  /** a is WORSE than b under (score desc, docId asc): lower score, or the
+    * same score with a larger docId. */
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+    sa < sb || (sa == sb && ia > ib)
 
   /** Current pruning threshold θ: worst kept score once full, else 0. */
-  def threshold: Double = if (pq.size < k) 0.0 else pq.head._2
+  def threshold: Double = if (n < cap || cap == 0) 0.0 else scs(0)
 
   def offer(docId: Long, score: Double): Unit = {
-    if (k <= 0) return
-    if (pq.size < k) pq.enqueue((docId, score))
-    else {
-      val worst = pq.head
-      if (score > worst._2 || (score == worst._2 && docId < worst._1)) {
-        pq.dequeue(); pq.enqueue((docId, score))
+    if (cap == 0) return
+    if (n < cap) {
+      // insert at the end, sift up
+      var i = n
+      ids(i) = docId; scs(i) = score
+      n += 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(scs(i), ids(i), scs(p), ids(p))) {
+          val ts = scs(i); val ti = ids(i)
+          scs(i) = scs(p); ids(i) = ids(p)
+          scs(p) = ts; ids(p) = ti
+          i = p
+        } else i = 0
+      }
+    } else if (worse(scs(0), ids(0), score, docId)) {
+      // beats the worst kept: replace root, sift down
+      ids(0) = docId; scs(0) = score
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var w = i // index of the worst among i and its children
+        if (l < n && worse(scs(l), ids(l), scs(w), ids(w))) w = l
+        if (r < n && worse(scs(r), ids(r), scs(w), ids(w))) w = r
+        if (w == i) done = true
+        else {
+          val ts = scs(i); val ti = ids(i)
+          scs(i) = scs(w); ids(i) = ids(w)
+          scs(w) = ts; ids(w) = ti
+          i = w
+        }
       }
     }
   }
 
-  def result(): Seq[(Long, Double)] = pq.toSeq.sortBy { case (d, s) => (-s, d) }
+  def result(): Seq[(Long, Double)] =
+    (0 until n).map(i => (ids(i), scs(i))).sortBy { case (d, s) => (-s, d) }
 }
