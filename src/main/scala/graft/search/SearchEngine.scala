@@ -491,56 +491,106 @@ class SearchEngine(val store: IndexStore) {
     // rows BEFORE tombstones: if a concurrent delete lands between the two
     // reads, the tombstone map is the newer of the pair and the deleted doc
     // is still filtered (the reverse order could resurface it)
+    //
+    // SHARD-major sort: shard groups hold pairwise-disjoint docId ranges
+    // (shard = docId / span), so contiguous shard runs are independent
+    // scoring units executed CONCURRENTLY on the driver pool below —
+    // within a run the (f, t, seg) order is exactly the old global
+    // (f, t, shard, seg) order restricted to that shard's docs, so every
+    // doc's contributions still sum in ascending (field, term) order and
+    // scores stay bit-identical to the oracle scorer.
     val rows = fetchShardRows(matched)
-      .sortBy { case (f, t, seg, shard, _, _) => (f, t, shard, seg) }
+      .sortBy { case (f, t, seg, shard, _, _) => (shard, f, t, seg) }
     val tomb = cachedTombstones()
     val and = mode == SearchMode.And
-    // pre-size the accumulator to the Σdf upper bound on distinct docs (the
-    // driver path only runs when Σdf·8 ≤ driverWandMaxBytes, so this is
-    // bounded): growing from 4096 to hot-term size re-hashed the whole
-    // table ~7 times per query. ×10/7 keeps the final table under the 0.7
-    // load factor so no grow happens at all; capped so a generous
-    // driverWandMaxBytes cannot make the up-front zeroing the new cost.
     val est = math.min(stats.map(_.df).sum, 1L << 21).toInt
-    val acc = new DriverScoreMap(math.max(est * 10 / 7, 1 << 12))
     val k1 = bm25.k1; val b = bm25.b
     val noTomb = tomb.isEmpty
-    rows.foreach { case (f, t, seg, _, _, blob) =>
-      statsMap.get((f, t)).foreach { st =>
-        val idf = st.idf
-        val avgdl = st.avgdl
-        val bit = if (and) bitOf.getOrElse((f, t), 0L) else 0L
-        var p = 0
-        var prevDoc = 0L
-        while (p < blob.length) {
-          // inline LEB128 × 3: docId delta, tf, dl
-          var v = 0L; var shift = 0; var by = 0
-          do { by = blob(p) & 0xff; v |= (by & 0x7fL) << shift; shift += 7; p += 1 }
-          while ((by & 0x80) != 0)
-          val d = prevDoc + v
-          prevDoc = d
-          v = 0L; shift = 0
-          do { by = blob(p) & 0xff; v |= (by & 0x7fL) << shift; shift += 7; p += 1 }
-          while ((by & 0x80) != 0)
-          val tf = v.toDouble
-          v = 0L; shift = 0
-          do { by = blob(p) & 0xff; v |= (by & 0x7fL) << shift; shift += 7; p += 1 }
-          while ((by & 0x80) != 0)
-          val dl = v.toDouble
-          if (noTomb || !tomb.get(d).exists(seg <= _)) {
-            // EXACT expression shape of OracleScorer / the Column plan —
-            // re-associating it would break bit-identity with both
-            val part = idf * (tf * (k1 + 1.0)) /
-              (tf + k1 * (1.0 - b + b * dl / avgdl))
-            acc.add(d, part, bit)
+    val want = qTerms.size
+    // contiguous shard-run boundaries
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var ri = 1
+    while (ri < rows.length) {
+      if (rows(ri)._4 != rows(ri - 1)._4) starts += ri
+      ri += 1
+    }
+    val nUnits = if (rows.isEmpty) 0 else starts.length
+    // One unit: accumulate its shard's postings into a private map, filter
+    // (AND mask), and return its local top-k. Per-unit map pre-sizing uses
+    // the unit's blob bytes (≥ 3 bytes per posting ⇒ bytes/3 bounds its
+    // distinct docs) instead of the global Σdf — the old single global
+    // accumulator pre-sized from Σdf to avoid ~7 re-hashes per hot query;
+    // the same reasoning applies per unit with the tighter local bound.
+    def scoreUnit(u: Int): BoundedHitHeap = {
+      val from = starts(u)
+      val until = if (u + 1 < nUnits) starts(u + 1) else rows.length
+      var bytes = 0L
+      var i = from
+      while (i < until) { bytes += rows(i)._6.length; i += 1 }
+      val estU = math.min(est.toLong, bytes / 3 + 16).toInt
+      val acc = new DriverScoreMap(math.max(estU * 10 / 7, 1 << 10))
+      i = from
+      while (i < until) {
+        val (f, t, seg, _, _, blob) = rows(i)
+        statsMap.get((f, t)).foreach { st =>
+          val idf = st.idf
+          val avgdl = st.avgdl
+          val bit = if (and) bitOf.getOrElse((f, t), 0L) else 0L
+          var p = 0
+          var prevDoc = 0L
+          while (p < blob.length) {
+            // inline LEB128 × 3: docId delta, tf, dl
+            var v = 0L; var shift = 0; var by = 0
+            do { by = blob(p) & 0xff; v |= (by & 0x7fL) << shift; shift += 7; p += 1 }
+            while ((by & 0x80) != 0)
+            val d = prevDoc + v
+            prevDoc = d
+            v = 0L; shift = 0
+            do { by = blob(p) & 0xff; v |= (by & 0x7fL) << shift; shift += 7; p += 1 }
+            while ((by & 0x80) != 0)
+            val tf = v.toDouble
+            v = 0L; shift = 0
+            do { by = blob(p) & 0xff; v |= (by & 0x7fL) << shift; shift += 7; p += 1 }
+            while ((by & 0x80) != 0)
+            val dl = v.toDouble
+            if (noTomb || !tomb.get(d).exists(seg <= _)) {
+              // EXACT expression shape of OracleScorer / the Column plan —
+              // re-associating it would break bit-identity with both
+              val part = idf * (tf * (k1 + 1.0)) /
+                (tf + k1 * (1.0 - b + b * dl / avgdl))
+              acc.add(d, part, bit)
+            }
           }
         }
+        i += 1
       }
+      val h = new BoundedHitHeap(k)
+      acc.foreach { (d, s, m) =>
+        if (!and || java.lang.Long.bitCount(m) == want) h.offer(d, s)
+      }
+      h
     }
+    // Disjoint doc ranges ⇒ merged per-unit top-ks equal the global top-k
+    // under the (score desc, docId asc) total order. Pool size = the
+    // session's defaultParallelism (never a hard-coded core count); the
+    // single-unit / single-core case runs inline with zero pool overhead —
+    // the previous sequential behavior exactly.
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
     val heap = new BoundedHitHeap(k)
-    val want = qTerms.size
-    acc.foreach { (d, s, m) =>
-      if (!and || java.lang.Long.bitCount(m) == want) heap.offer(d, s)
+    if (nUnits <= 1 || par <= 1) {
+      var u = 0
+      while (u < nUnits) {
+        scoreUnit(u).result().foreach { case (d, s) => heap.offer(d, s) }
+        u += 1
+      }
+    } else {
+      val pool = DriverPool(par)
+      val futs = (0 until nUnits).map { u =>
+        pool.submit(new java.util.concurrent.Callable[BoundedHitHeap] {
+          def call(): BoundedHitHeap = scoreUnit(u)
+        })
+      }
+      futs.foreach(_.get().result().foreach { case (d, s) => heap.offer(d, s) })
     }
     // already (score desc, doc_id asc)-sorted and ≤ k: plain LocalRelation
     heap.result().toDF("doc_id", "score")

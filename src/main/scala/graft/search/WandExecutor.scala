@@ -46,20 +46,16 @@ class WandExecutor(engine: SearchEngine) {
     val statsMap = stats.map(s => (s.field, s.term) -> (s.idf, s.avgdl)).toMap
     val k1 = bm25.k1; val b = bm25.b; val kk = k
 
-    def runShardGroups(
-        rows: Iterable[(String, String, Int, Long, Array[Byte], Array[Byte])],
-        tomb: Map[Long, Int], heap: BoundedHitHeap): Unit =
-      rows.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, group) =>
-        val cursors = group.toSeq
-          .flatMap { case (f, t, seg, _, blocks, blob) =>
-            statsMap.get((f, t)).map { case (idf, avgdl) =>
-              new TermCursor(f, t, seg, idf, avgdl, k1, b,
-                new PostingCodec.Cursor(blob, PostingCodec.decodeBlocks(blocks)))
-            }
+    def cursorsOf(
+        group: Iterable[(String, String, Int, Long, Array[Byte], Array[Byte])]): Array[TermCursor] =
+      group.toSeq
+        .flatMap { case (f, t, seg, _, blocks, blob) =>
+          statsMap.get((f, t)).map { case (idf, avgdl) =>
+            new TermCursor(f, t, seg, idf, avgdl, k1, b,
+              new PostingCodec.Cursor(blob, PostingCodec.decodeBlocks(blocks)))
           }
-          .sortBy(c => (c.field, c.term, c.seg)).toArray
-        if (cursors.nonEmpty) WandExecutor.runWand(cursors, tomb, heap)
-      }
+        }
+        .sortBy(c => (c.field, c.term, c.seg)).toArray
 
     // ~8 bytes/posting is conservative for the varint triplets + block meta
     val estBytes = stats.map(_.df).sum * 8
@@ -68,8 +64,41 @@ class WandExecutor(engine: SearchEngine) {
       // zero Spark jobs, mirroring the reference's resident-index serving.
       // heap.result() is already (score desc, doc_id asc)-sorted and ≤ k,
       // so the result is a plain LocalRelation (collect needs no job).
+      //
+      // Shard groups hold pairwise-DISJOINT docId ranges (shard = docId /
+      // span), so they are scored CONCURRENTLY on the driver pool — the
+      // sequential walk left every other core idle for the whole scoring
+      // loop (guide §2.6, idle capacity). Each group gets its own heap;
+      // the sequential run's cross-group θ carry-over is kept through the
+      // monotone [[SharedTheta]] floor (strict-<θ pruning ⇒ exact), and
+      // the merged top-k of per-group top-ks equals the global top-k under
+      // the (score desc, docId asc) total order. Pool size = the session's
+      // defaultParallelism — never a hard-coded core count.
+      val groups = engine.fetchShardRows(matched)
+        .groupBy(_._4).toArray.sortBy(_._1).map(_._2)
+      val tomb = engine.cachedTombstones()
+      val par = math.max(1, spark.sparkContext.defaultParallelism)
       val heap = new BoundedHitHeap(kk)
-      runShardGroups(engine.fetchShardRows(matched), engine.cachedTombstones(), heap)
+      if (groups.length <= 1 || par <= 1) {
+        groups.foreach { g =>
+          val cursors = cursorsOf(g)
+          if (cursors.nonEmpty) WandExecutor.runWand(cursors, tomb, heap)
+        }
+      } else {
+        val shared = new SharedTheta
+        val pool = DriverPool(par)
+        val futs = groups.map { g =>
+          pool.submit(new java.util.concurrent.Callable[BoundedHitHeap] {
+            def call(): BoundedHitHeap = {
+              val h = new BoundedHitHeap(kk, shared)
+              val cursors = cursorsOf(g)
+              if (cursors.nonEmpty) WandExecutor.runWand(cursors, tomb, h)
+              h
+            }
+          })
+        }
+        futs.foreach(_.get().result().foreach { case (d, s) => heap.offer(d, s) })
+      }
       heap.result().toDF("doc_id", "score")
     } else {
       val shardRows = engine.matchedShards(matched)
@@ -357,7 +386,45 @@ private[search] final class TermCursor(
   * of every WAND/exhaustive scoring loop (one call per surviving posting),
   * and the old path allocated a tuple per offer plus two tuples per
   * comparison inside `Ordering.by`. */
-private[search] final class BoundedHitHeap(k: Int) {
+/** Monotone pruning floor SHARED by the heaps of concurrently-scored shard
+  * groups (see [[WandExecutor.search]]'s driver branch): each group's heap
+  * publishes its local k-th-best score once full, and every group prunes
+  * against the max published so far. Safe because a subset's k-th best
+  * never exceeds the union's k-th best, and pruning is strict-<θ — so a
+  * doc pruned against the shared floor is strictly below the FINAL global
+  * k-th score and could never appear in the merged top-k. Lock-free CAS
+  * max; scores are non-negative (idf > 0, boosts ≥ 0). */
+private[search] final class SharedTheta {
+  private val bits = new java.util.concurrent.atomic.AtomicLong(
+    java.lang.Double.doubleToLongBits(0.0))
+  def get: Double = java.lang.Double.longBitsToDouble(bits.get)
+  @annotation.tailrec
+  def raiseTo(v: Double): Unit = {
+    val cur = bits.get
+    if (java.lang.Double.longBitsToDouble(cur) < v &&
+        !bits.compareAndSet(cur, java.lang.Double.doubleToLongBits(v)))
+      raiseTo(v)
+  }
+}
+
+/** Shared daemon pools for driver fast-path scoring, keyed by size. The
+  * size is always derived from the session's `defaultParallelism` (the
+  * `local[N]` core count), never hard-coded, so the bench's 2-core rep
+  * scores with 2 driver threads and the 32-core rep with 32 — driver
+  * parallelism scales exactly like executor parallelism. */
+private[search] object DriverPool {
+  private val pools =
+    scala.collection.concurrent.TrieMap.empty[Int, java.util.concurrent.ExecutorService]
+  def apply(n: Int): java.util.concurrent.ExecutorService =
+    pools.getOrElseUpdate(n, java.util.concurrent.Executors.newFixedThreadPool(n,
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-driver-score-$n")
+        t.setDaemon(true)
+        t
+      }))
+}
+
+private[search] final class BoundedHitHeap(k: Int, shared: SharedTheta = null) {
   private val cap = math.max(k, 0)
   private val ids = new Array[Long](math.max(cap, 1))
   private val scs = new Array[Double](math.max(cap, 1))
@@ -368,8 +435,14 @@ private[search] final class BoundedHitHeap(k: Int) {
   @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
     sa < sb || (sa == sb && ia > ib)
 
-  /** Current pruning threshold θ: worst kept score once full, else 0. */
-  def threshold: Double = if (n < cap || cap == 0) 0.0 else scs(0)
+  /** Current pruning threshold θ: worst kept score once full, else 0 — or
+    * the shared cross-group floor when that is higher (see [[SharedTheta]]:
+    * always ≤ the final global k-th score, so strict-<θ pruning stays
+    * exact). */
+  def threshold: Double = {
+    val own = if (n < cap || cap == 0) 0.0 else scs(0)
+    if (shared == null) own else math.max(own, shared.get)
+  }
 
   def offer(docId: Long, score: Double): Unit = {
     if (cap == 0) return
@@ -407,6 +480,9 @@ private[search] final class BoundedHitHeap(k: Int) {
         }
       }
     }
+    // publish the local k-th-best to concurrent groups once full: monotone,
+    // and always ≤ the global k-th score (subset property)
+    if (shared != null && n == cap) shared.raiseTo(scs(0))
   }
 
   def result(): Seq[(Long, Double)] =

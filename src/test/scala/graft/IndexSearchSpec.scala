@@ -131,6 +131,33 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(src.exceptAll(stored).isEmpty && stored.exceptAll(src).isEmpty)
   }
 
+  test("parallel driver scoring is bit-identical to the oracle across many shard groups") {
+    // shardSpan 16 → ~19 disjoint shard groups at 300 docs, so with the
+    // local[4] test session the driver fast paths score on the shared pool
+    // (round-6: concurrent per-shard units + SharedTheta floor for WAND).
+    // Scores must stay EXACTLY equal to the sequential oracle sum — the
+    // per-doc summation order is unchanged inside a unit and docs never
+    // span units, so no tolerance is allowed here.
+    val parStore = new IndexStore(spark, TestSpark.tempDir("parshard"),
+      IndexConfig(shardSpan = 16))
+    parStore.createSegment(corpusDS)
+    val parEngine = new SearchEngine(parStore)
+    Seq(SearchMode.Or, SearchMode.And, SearchMode.Wand).foreach { mode =>
+      Seq("import", "import class scala", "the license apache def").foreach { q =>
+        val oracle = OracleScorer.search(corpusLocal, q, Seq("content"), k = 10,
+          andSemantics = mode == SearchMode.And, params = cfg.bm25)
+        val got = parEngine.search(q, Seq("content"), k = 10, mode = mode)
+          .collect().map(r => Hit(r.getLong(0), r.getDouble(1))).toSeq
+        assert(got.map(_.doc_id) == oracle.map(_.doc_id),
+          s"parallel rank mismatch for [$q] $mode\n got=$got\n exp=$oracle")
+        got.zip(oracle).foreach { case (g, o) =>
+          assert(g.score == o.score,
+            s"parallel score not bit-identical for [$q] doc=${g.doc_id}: ${g.score} vs ${o.score}")
+        }
+      }
+    }
+  }
+
   test("stats: df/N/avgdl match oracle definitions") {
     val fstats = store.fieldStats()
     assert(fstats("content")._1 == corpusLocal.size)
