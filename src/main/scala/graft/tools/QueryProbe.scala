@@ -34,6 +34,7 @@ object QueryProbe {
 
     val mix = Seq(
       ("or3", "import class return", SearchMode.Or, engine),
+      ("wand3_dist", "import class return", SearchMode.Wand, distEngine),
       ("or3_dist", "import class return", SearchMode.Or, distEngine),
       ("and2", "import val", SearchMode.And, engine),
       ("and2_dist", "import val", SearchMode.And, distEngine),
