@@ -448,9 +448,20 @@ class SearchEngine(val store: IndexStore) {
       stats.map(s => (s.field, s.term, s.idf, s.avgdl,
           bitOf.getOrElse((s.field, s.term), 0L)))
         .toDF("field", "term", "idf", "avgdl", "tbit"))
-    val rows = tombstoneFiltered(decode(matchedShards(matched)))
+    // Attach the per-term stats to the SHARD rows (one row per (field,
+    // term, seg, shard) — vocabulary-sized) and explode AFTERWARDS, so the
+    // broadcast hash join hashes two string keys once per shard row, not
+    // once per decoded posting, and the per-posting stream carries three
+    // doubles + seg instead of two strings (guide §3.3: "explode before a
+    // join multiplies the shuffle; join first on the un-exploded key and
+    // explode after"). Contribution values are identical per posting; only
+    // the plan order changes.
+    val rows = tombstoneFiltered(
+      matchedShards(matched).join(statsDF, Seq("field", "term"))
+        .select($"seg", $"idf", $"avgdl", $"tbit",
+          graft.functions.GraftFunctions.posting_explode($"blob")))
     val k1 = lit(bm25.k1); val b = lit(bm25.b)
-    val contrib = rows.join(statsDF, Seq("field", "term"))
+    val contrib = rows
       .withColumn("part",
         $"idf" * ($"tf" * (k1 + lit(1.0))) /
           ($"tf" + k1 * (lit(1.0) - b + b * $"dl" / $"avgdl")))
